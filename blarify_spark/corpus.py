@@ -1,0 +1,360 @@
+"""Deterministic synthetic web-page corpus + alias dictionary (seed=42).
+
+Mirrors the reference's fixture strategy — tiny hand-authored corpora with
+exactly-known expected graphs (reference: tests/code_examples/*,
+tests/integration/test_graphbuilder_basic.py:66-73) — restated as HTML
+pages whose extracted text and SVO triples are known by construction
+(FIXTURES.md §1). No external data; pure stdlib; fully seeded.
+
+Families
+--------
+simple             exact expected triples (parity must be 1.0)
+duplicate_entities same surface form, two entities; two aliases, one entity
+cyclic_links       triples forming reference cycles (components must close)
+skewed_head        one head entity in ~50% of the family's triples
+raw_garbage        invalid UTF-8 / broken markup -> empty text, retained
+incremental        second snapshot: 2 added, 2 modified, 1 deleted url
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from datetime import datetime, timedelta
+from typing import Any
+
+SEED = 42
+EMB_DIM = 16
+
+# ---------------------------------------------------------------------------
+# Entity bank
+# ---------------------------------------------------------------------------
+
+# (canonical_name, type, aliases, ctx_tokens)
+_ENTITY_BANK: list[tuple[str, str, list[str], list[str]]] = [
+    ("Ada Lovelace", "person", ["Ada Lovelace", "Countess Lovelace"],
+     ["mathematician", "program", "analytical", "engine", "notes"]),
+    ("Alan Turing", "person", ["Alan Turing", "Turing"],
+     ["computation", "machine", "enigma", "logic", "test"]),
+    ("Grace Hopper", "person", ["Grace Hopper", "Admiral Hopper"],
+     ["compiler", "cobol", "navy", "debugging", "flow-matic"]),
+    ("Marie Curie", "person", ["Marie Curie", "Curie"],
+     ["radium", "polonium", "physics", "chemistry", "nobel"]),
+    ("Tim Berners-Lee", "person", ["Tim Berners-Lee", "Berners-Lee"],
+     ["web", "http", "html", "cern", "browser"]),
+    ("Acme Corporation", "org", ["Acme Corporation", "Acme Corp", "Acme"],
+     ["anvils", "rockets", "catalog", "manufacturing", "gadgets"]),
+    ("Globex", "org", ["Globex"],
+     ["energy", "conglomerate", "turbines", "holdings", "power"]),
+    ("Initech", "org", ["Initech"],
+     ["software", "reports", "printers", "consulting", "office"]),
+    ("Hooli", "org", ["Hooli", "Hooli Inc"],
+     ["platform", "compression", "cloud", "apps", "campus"]),
+    ("Umbrella Labs", "org", ["Umbrella Labs", "Umbrella"],
+     ["research", "biotech", "serum", "laboratory", "trials"]),
+    ("Paris", "city", ["Paris"],
+     ["france", "seine", "louvre", "capital", "metro"]),
+    ("Berlin", "city", ["Berlin"],
+     ["germany", "spree", "wall", "capital", "ubahn"]),
+    ("Zurich", "city", ["Zurich"],
+     ["switzerland", "limmat", "banks", "lake", "tram"]),
+    ("Alpha Systems", "org", ["Alpha Systems"],
+     ["alpha", "pipelines", "kernels", "systems", "compute"]),
+    ("Beta Systems", "org", ["Beta Systems"],
+     ["beta", "storage", "arrays", "systems", "disks"]),
+    ("Gamma Systems", "org", ["Gamma Systems"],
+     ["gamma", "network", "switches", "systems", "fabric"]),
+    # Ambiguous surface "Mercury": planet vs element (duplicate_entities).
+    ("Mercury (planet)", "planet", ["Mercury"],
+     ["planet", "orbit", "sun", "crater", "astronomy"]),
+    ("Mercury (element)", "element", ["Mercury"],
+     ["element", "metal", "liquid", "thermometer", "chemistry"]),
+]
+
+
+def entity_id(canonical_name: str) -> str:
+    """Deterministic md5 entity key (blarify node-ID analog,
+    reference: blarify/graph/node/utils/id_calculator.py:10-12)."""
+    return hashlib.md5(canonical_name.encode("utf-8")).hexdigest()
+
+
+def pseudo_embedding(tokens: list[str], dim: int = EMB_DIM) -> list[float]:
+    """Deterministic bag-of-tokens pseudo-embedding, L2-normalized."""
+    vec = [0.0] * dim
+    for tok in tokens:
+        h = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+        )
+        vec[h % dim] += 1.0
+        vec[(h >> 8) % dim] += 0.5
+    norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+    return [round(v / norm, 6) for v in vec]
+
+
+def entity_bank() -> list[dict[str, Any]]:
+    return [
+        {
+            "entity_id": entity_id(name),
+            "canonical_name": name,
+            "entity_type": etype,
+            "aliases": aliases,
+            "ctx_tokens": ctx,
+            "ctx_embedding": pseudo_embedding(ctx),
+        }
+        for name, etype, aliases, ctx in _ENTITY_BANK
+    ]
+
+
+def alias_rows() -> list[dict[str, Any]]:
+    """Flat alias -> entity rows for the broadcast linking dictionary.
+
+    Ambiguous aliases (e.g. "mercury") appear with >= 2 entity_ids; the
+    prior decreases with alias position (first alias = canonical form).
+    """
+    rows: list[dict[str, Any]] = []
+    for ent in entity_bank():
+        n = len(ent["aliases"])
+        for i, alias in enumerate(ent["aliases"]):
+            rows.append(
+                {
+                    "alias": alias.lower(),
+                    "entity_id": ent["entity_id"],
+                    "canonical_name": ent["canonical_name"],
+                    "prior": round(1.0 - i / (n + 1), 6),
+                    "ctx_tokens": ent["ctx_tokens"],
+                    "ctx_embedding": ent["ctx_embedding"],
+                }
+            )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Fact templates (subject alias, predicate phrase, object, extra ctx words)
+# ---------------------------------------------------------------------------
+
+_FACTS: list[tuple[str, str, str]] = [
+    ("Ada Lovelace", "wrote", "the first program"),
+    ("Ada Lovelace", "was born in", "London"),
+    ("Alan Turing", "invented", "the Turing Machine"),
+    ("Alan Turing", "works at", "Bletchley Park"),
+    ("Grace Hopper", "developed", "the first compiler"),
+    ("Marie Curie", "discovered", "radium"),
+    ("Marie Curie", "was born in", "Warsaw"),
+    ("Tim Berners-Lee", "created", "the World Wide Web"),
+    ("Acme Corporation", "acquired", "Initech"),
+    ("Acme Corp", "was founded by", "Wile Coyote"),
+    ("Globex", "is located in", "Springfield"),
+    ("Initech", "is located in", "Austin"),
+    ("Hooli", "acquired", "Pied Piper"),
+    ("Hooli", "was founded by", "Gavin Belson"),
+    ("Hooli", "is located in", "Palo Alto"),
+    ("Hooli", "developed", "the Nucleus platform"),
+    ("Hooli", "publishedX", ""),  # placeholder slot, filtered out below
+    ("Umbrella Labs", "is located in", "Zurich"),
+    ("Paris", "is the capital of", "France"),
+    ("Berlin", "is the capital of", "Germany"),
+    ("Zurich", "is located in", "Switzerland"),
+    ("Mercury", "is a", "planet"),
+    ("Mercury", "is a", "chemical element"),
+    ("Alpha Systems", "relates to", "Beta Systems"),
+    ("Beta Systems", "relates to", "Gamma Systems"),
+    ("Gamma Systems", "relates to", "Alpha Systems"),
+]
+_FACTS = [f for f in _FACTS if f[2]]
+
+_NOISE_SENTENCES = [
+    "This page collects general notes and background reading.",
+    "Several unrelated topics appear below without clear structure.",
+    "See also the archive section for older material.",
+    "Content on this page is updated from time to time.",
+    "the following paragraph continues without capitalization.",
+]
+
+_LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"]
+
+_BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _fact_sentence(fact: tuple[str, str, str]) -> str:
+    subj, pred_phrase, obj = fact
+    return f"{subj} {pred_phrase} {obj}."
+
+
+def _render_html(title: str, paragraphs: list[list[str]]) -> bytes:
+    body = "".join(
+        "<p>" + " ".join(sents) + "</p>" for sents in paragraphs
+    )
+    html = (
+        "<html><head>"
+        f"<title>{title}</title>"
+        "<script>var tracker = {'id': 42};</script>"
+        "<style>p { margin: 0; }</style>"
+        "</head><body>"
+        "<nav><ul><li>Home</li><li>About</li><li>Archive</li></ul></nav>"
+        f"<header><h1>{title}</h1></header>"
+        f"<main>{body}</main>"
+        "<footer>&copy; 2025 Example Publishing &middot; All rights reserved"
+        "</footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def _page(
+    k: int, family: str, title: str, paragraphs: list[list[str]], lang: str
+) -> dict[str, Any]:
+    return {
+        "url": f"https://ex{k % 7}.test/{family}/p{k}",
+        "warc_ts": _BASE_TS + timedelta(minutes=k),
+        "html": _render_html(title, paragraphs),
+        "text": None,
+        "lang": lang,
+        "family": family,
+    }
+
+
+def generate_pages(n_pages: int = 64, seed: int = SEED) -> list[dict[str, Any]]:
+    """Generate the full fixture corpus. Deterministic in (n_pages, seed).
+
+    Family mix: ~70% simple, and fixed-size duplicate_entities /
+    cyclic_links / skewed_head / raw_garbage blocks. Page count scales
+    for benchmarking; the special families stay constant-size so their
+    assertions are exact.
+    """
+    rng = random.Random(seed)
+    pages: list[dict[str, Any]] = []
+    k = 0
+
+    # -- cyclic_links: the 3-cycle facts, one page each --------------------
+    for fact in _FACTS[-3:]:
+        pages.append(
+            _page(
+                k,
+                "cyclic_links",
+                f"{fact[0]} overview",
+                [[_fact_sentence(fact)], [rng.choice(_NOISE_SENTENCES)]],
+                "en",
+            )
+        )
+        k += 1
+
+    # -- duplicate_entities: Mercury x2 + Acme alias spellings -------------
+    dup_facts = [
+        ("Mercury", "is a", "planet"),
+        ("Mercury", "is a", "chemical element"),
+        ("Acme Corporation", "acquired", "Initech"),
+        ("Acme Corp", "was founded by", "Wile Coyote"),
+    ]
+    for fact in dup_facts:
+        pages.append(
+            _page(
+                k,
+                "duplicate_entities",
+                f"About {fact[0]}",
+                [[_fact_sentence(fact), rng.choice(_NOISE_SENTENCES)]],
+                "en",
+            )
+        )
+        k += 1
+
+    # -- raw_garbage: invalid UTF-8 and broken markup ----------------------
+    garbage_htmls: list[bytes] = [
+        b"\xff\xfe\x00broken bytes not utf8 \x80\x81",
+        b"<html><body><p>unclosed paragraph <div>odd nesting</p></body>",
+        b"\xc3\x28 invalid continuation",
+    ]
+    for gh in garbage_htmls:
+        pages.append(
+            {
+                "url": f"https://ex{k % 7}.test/raw_garbage/p{k}",
+                "warc_ts": _BASE_TS + timedelta(minutes=k),
+                "html": gh,
+                "text": None,
+                "lang": "en",
+                "family": "raw_garbage",
+            }
+        )
+        k += 1
+
+    # -- skewed_head: Hooli in ~50% of this family's sentences -------------
+    hooli_facts = [f for f in _FACTS if f[0] == "Hooli"]
+    other_facts = [f for f in _FACTS if f[0] != "Hooli"]
+    for i in range(8):
+        fact = hooli_facts[i % len(hooli_facts)] if i % 2 == 0 else rng.choice(
+            other_facts
+        )
+        pages.append(
+            _page(
+                k,
+                "skewed_head",
+                "Hooli press room",
+                [
+                    [_fact_sentence(fact)],
+                    [_fact_sentence(rng.choice(hooli_facts))],
+                ],
+                "en",
+            )
+        )
+        k += 1
+
+    # -- simple: fill the remainder with 2-5 known fact sentences ----------
+    while len(pages) < n_pages:
+        n_facts = rng.randint(2, 5)
+        facts = [rng.choice(_FACTS) for _ in range(n_facts)]
+        paragraphs = [[_fact_sentence(f)] for f in facts]
+        paragraphs.append([rng.choice(_NOISE_SENTENCES)])
+        pages.append(
+            _page(
+                k,
+                "simple",
+                f"Notes {k}",
+                paragraphs,
+                rng.choice(_LANGS),
+            )
+        )
+        k += 1
+
+    return pages
+
+
+def generate_incremental_snapshot(
+    pages: list[dict[str, Any]], seed: int = SEED
+) -> list[dict[str, Any]]:
+    """Second snapshot of `pages`: 2 added, 2 modified, 1 deleted url.
+
+    Mirrors the reference's incremental-update tests
+    (tests/integration/test_graphbuilder_incremental_update.py:55-990).
+    """
+    rng = random.Random(seed + 1)
+    simple = [p for p in pages if p["family"] == "simple"]
+    if len(simple) < 3:
+        raise ValueError("need >= 3 simple pages for the incremental family")
+    deleted_url = simple[0]["url"]
+    modified_urls = {simple[1]["url"], simple[2]["url"]}
+
+    out: list[dict[str, Any]] = []
+    for p in pages:
+        if p["url"] == deleted_url:
+            continue
+        q = dict(p)
+        if p["url"] in modified_urls:
+            fact = rng.choice(_FACTS)
+            q["html"] = _render_html(
+                "Updated notes", [[_fact_sentence(fact)]]
+            )
+            q["warc_ts"] = p["warc_ts"] + timedelta(days=30)
+        out.append(q)
+
+    base_k = len(pages)
+    for j in range(2):
+        fact = rng.choice(_FACTS)
+        out.append(
+            _page(
+                base_k + j,
+                "incremental",
+                f"New page {j}",
+                [[_fact_sentence(fact)]],
+                "en",
+            )
+        )
+    return out

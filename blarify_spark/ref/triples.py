@@ -1,0 +1,197 @@
+"""Rule-based mention detection and SVO triple extraction (pure Python).
+
+Reference twin of the Spark-side pandas UDFs
+(blarify_spark.functions.udfs.extract_triples_rows / extract_mentions_rows).
+The engine's correctness gate compares (subj, pred, obj) sets between this
+module and the Spark pipeline at P/R >= 0.95 (BASELINE.json `north_rule`);
+on the `simple` fixture family the match must be exact.
+
+This plays the role blarify's tree-sitter definition extraction plays for
+code (reference: blarify/code_hierarchy/tree_sitter_helper.py:151-175 —
+name / range / body extraction per AST node), restated for web sentences:
+
+* sentence  ~ AST node
+* entity mention ~ identifier occurrence (code_references/types/Reference.py)
+* SVO triple ~ (source_node, relationship_type, target_node) edge
+  (graph/relationship/relationship_creator.py:68-83)
+
+Everything is deterministic, seedless, and regex-driven.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TypedDict
+
+# ---------------------------------------------------------------------------
+# Grammar
+# ---------------------------------------------------------------------------
+
+# Capitalized-phrase entity pattern: one or more Capitalized tokens,
+# optionally joined by "of" / "de" (e.g. "University of Turing").
+ENTITY_RE = re.compile(
+    r"\b[A-Z][A-Za-z0-9'\-]*(?:(?: (?:of|de) )?[ ]?[A-Z][A-Za-z0-9'\-]*)*"
+)
+
+# Closed predicate lexicon: surface phrase -> canonical predicate name.
+# Longest phrases are matched first (ordering handled at regex build).
+PREDICATES: dict[str, str] = {
+    "was founded by": "founded_by",
+    "was written by": "written_by",
+    "was acquired by": "acquired_by",
+    "is the capital of": "capital_of",
+    "is located in": "located_in",
+    "is part of": "part_of",
+    "was born in": "born_in",
+    "works at": "works_at",
+    "relates to": "relates_to",
+    "links to": "links_to",
+    "is a": "is_a",
+    "wrote": "wrote",
+    "founded": "founded",
+    "invented": "invented",
+    "discovered": "discovered",
+    "acquired": "acquired",
+    "created": "created",
+    "developed": "developed",
+    "published": "published",
+    "leads": "leads",
+    "cites": "cites",
+}
+
+_PRED_RE = re.compile(
+    r" (?:"
+    + "|".join(
+        re.escape(p) for p in sorted(PREDICATES, key=len, reverse=True)
+    )
+    + r") "
+)
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+_ARTICLE_RE = re.compile(r"^(?:the|a|an) ", re.IGNORECASE)
+_TRAIL_PUNCT_RE = re.compile(r"[.!?,;:]+$")
+
+
+class Sentence(TypedDict):
+    text: str
+    start: int  # char offset into the document text
+    end: int
+
+
+class Mention(TypedDict):
+    surface: str
+    start: int
+    end: int
+    sentence_idx: int
+
+
+class Triple(TypedDict):
+    subj: str
+    pred: str
+    obj: str
+    start: int  # sentence char offset (provenance span)
+    end: int
+    sentence_idx: int
+
+
+# ---------------------------------------------------------------------------
+# Sentence splitting
+# ---------------------------------------------------------------------------
+
+
+def split_sentences(text: str) -> list[Sentence]:
+    """Split extracted text into sentences with char-offset provenance.
+
+    Lines (blocks from html_extract) are hard boundaries; within a line,
+    split after terminal punctuation followed by whitespace.
+    """
+    sentences: list[Sentence] = []
+    offset = 0
+    for line in text.split("\n"):
+        pos = 0
+        for part in _SENT_SPLIT_RE.split(line):
+            if part:
+                start = line.index(part, pos)
+                pos = start + len(part)
+                stripped = part.strip()
+                if stripped:
+                    lead = part.index(stripped[0])
+                    sentences.append(
+                        Sentence(
+                            text=stripped,
+                            start=offset + start + lead,
+                            end=offset + start + lead + len(stripped),
+                        )
+                    )
+        offset += len(line) + 1  # +1 for the "\n"
+    return sentences
+
+
+# ---------------------------------------------------------------------------
+# Mentions
+# ---------------------------------------------------------------------------
+
+
+def extract_mentions(text: str) -> list[Mention]:
+    """All capitalized-phrase entity mentions with spans."""
+    mentions: list[Mention] = []
+    for idx, sent in enumerate(split_sentences(text)):
+        for m in ENTITY_RE.finditer(sent["text"]):
+            mentions.append(
+                Mention(
+                    surface=m.group(0),
+                    start=sent["start"] + m.start(),
+                    end=sent["start"] + m.end(),
+                    sentence_idx=idx,
+                )
+            )
+    return mentions
+
+
+# ---------------------------------------------------------------------------
+# Triples
+# ---------------------------------------------------------------------------
+
+
+def _extract_from_sentence(sent_text: str) -> tuple[str, str, str] | None:
+    """Apply the SVO rule to one sentence; None if no match.
+
+    Rule: ``<Entity> <predicate-phrase> <object>`` where the subject must
+    be a full entity-pattern match anchored at sentence start and the
+    object is the non-empty remainder (leading article + trailing
+    punctuation stripped).
+    """
+    pm = _PRED_RE.search(sent_text)
+    if pm is None:
+        return None
+    subj = sent_text[: pm.start()]
+    em = ENTITY_RE.match(subj)
+    if em is None or em.end() != len(subj):
+        return None
+    obj = sent_text[pm.end() :]
+    obj = _TRAIL_PUNCT_RE.sub("", obj).strip()
+    obj = _ARTICLE_RE.sub("", obj)
+    if not obj:
+        return None
+    pred = PREDICATES[pm.group(0).strip()]
+    return subj, pred, obj
+
+
+def extract_triples(text: str) -> list[Triple]:
+    """Extract (subj, pred, obj) triples with sentence-span provenance."""
+    triples: list[Triple] = []
+    for idx, sent in enumerate(split_sentences(text)):
+        svo = _extract_from_sentence(sent["text"])
+        if svo is not None:
+            subj, pred, obj = svo
+            triples.append(
+                Triple(
+                    subj=subj,
+                    pred=pred,
+                    obj=obj,
+                    start=sent["start"],
+                    end=sent["end"],
+                    sentence_idx=idx,
+                )
+            )
+    return triples
