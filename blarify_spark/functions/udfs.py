@@ -1,0 +1,101 @@
+"""Arrow-batched pandas UDFs — the engine's entire Python surface.
+
+Exactly the five UDFs SURVEY.md §2.7 allows; everything else in the engine
+is native Catalyst column expressions. Each UDF delegates per-element work
+to the pure-Python reference module (blarify_spark.ref) so the Spark path
+and the golden path share one implementation — byte-identical by
+construction, with Arrow round-tripping being the only thing parity tests
+must additionally prove (BASELINE.json `input_hint`).
+
+No row-at-a-time Python UDFs anywhere: these are vectorized
+``pandas_udf``s fed by Arrow record batches
+(spark.sql.execution.arrow.maxRecordsPerBatch controls batch shape).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from blarify_spark.ref.html_extract import extract_text_bytes
+from blarify_spark.ref.triples import extract_mentions, extract_triples
+
+# ---------------------------------------------------------------------------
+# Result schemas
+# ---------------------------------------------------------------------------
+
+TRIPLE_STRUCT = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("span_start", T.IntegerType(), False),
+        T.StructField("span_end", T.IntegerType(), False),
+        T.StructField("sentence_idx", T.IntegerType(), False),
+    ]
+)
+
+MENTION_STRUCT = T.StructType(
+    [
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("span_start", T.IntegerType(), False),
+        T.StructField("span_end", T.IntegerType(), False),
+        T.StructField("sentence_idx", T.IntegerType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# UDF 1: HTML -> text (the byte-identical invariant)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    """binary html -> extracted text; '' on decode failure (RAW policy)."""
+    return html.map(extract_text_bytes)
+
+
+# The function IS deterministic; the flag exists solely to stop Catalyst's
+# CollapseProject from inlining (= re-evaluating) the expensive UDF into
+# every downstream reference — with it, the plan evaluates extraction
+# exactly once and consumers read the projected attribute.
+extract_text_udf = _extract_text_udf.asNondeterministic()
+
+
+# ---------------------------------------------------------------------------
+# UDF 2: text -> array<struct> of SVO triples
+# ---------------------------------------------------------------------------
+
+
+def _triples_of(text: str | None) -> list[tuple]:
+    if not text:
+        return []
+    return [
+        (t["subj"], t["pred"], t["obj"], t["start"], t["end"], t["sentence_idx"])
+        for t in extract_triples(text)
+    ]
+
+
+@F.pandas_udf(T.ArrayType(TRIPLE_STRUCT))
+def extract_triples_udf(text: pd.Series) -> pd.Series:
+    return text.map(_triples_of)
+
+
+# ---------------------------------------------------------------------------
+# UDF 3: text -> array<struct> of entity mentions
+# ---------------------------------------------------------------------------
+
+
+def _mentions_of(text: str | None) -> list[tuple]:
+    if not text:
+        return []
+    return [
+        (m["surface"], m["start"], m["end"], m["sentence_idx"])
+        for m in extract_mentions(text)
+    ]
+
+
+@F.pandas_udf(T.ArrayType(MENTION_STRUCT))
+def extract_mentions_udf(text: pd.Series) -> pd.Series:
+    return text.map(_mentions_of)

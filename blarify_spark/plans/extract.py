@@ -1,0 +1,84 @@
+"""Stage 1 — per-page extraction (shuffle-free, embarrassingly parallel).
+
+The Spark restatement of blarify's phase A (hierarchy build): each file is
+parsed independently and emits nodes — here each page independently emits
+extracted text, mentions, and SVO triples
+(reference: blarify/project_graph_creator.py:69-138,
+blarify/code_hierarchy/tree_sitter_helper.py:72-175). Because emission is
+per-row, this stage is a single narrow map over the scan: no shuffle, no
+skew, whole plan = Scan -> Filter(pushdown) -> ArrowEval -> Generate(explode).
+
+Failure policy mirrors blarify's RAW fallback (tree_sitter_helper.py:83-86):
+undecodable pages get extract_status='raw' and empty text; they are kept,
+never dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from blarify_spark.functions.udfs import (
+    extract_mentions_udf,
+    extract_text_udf,
+    extract_triples_udf,
+)
+
+
+def extract_text_stage(pages: DataFrame) -> DataFrame:
+    """pages(+html) -> pages(+text, +extract_status).
+
+    Pages whose `text` is already populated (e.g. re-runs over partially
+    extracted snapshots) are passed through untouched — the idempotency
+    contract (blarify analog: apoc.merge upsert semantics,
+    neo4j_manager.py:128-142).
+    """
+    extracted = F.when(
+        F.col("text").isNotNull(), F.col("text")
+    ).otherwise(extract_text_udf(F.col("html")))
+    return pages.withColumn("text", extracted).withColumn(
+        "extract_status",
+        F.when(
+            F.col("html").isNotNull() & (F.length("text") == 0), F.lit("raw")
+        ).otherwise(F.lit("ok")),
+    )
+
+
+def triples_stage(pages_with_text: DataFrame) -> DataFrame:
+    """-> triples(url, warc_ts, lang, subj, pred, obj, span_start, span_end).
+
+    One UDF evaluation per page, then a Generate (explode) — Catalyst keeps
+    this in the same stage as the scan; provenance columns ride along.
+    """
+    return (
+        pages_with_text.withColumn("_t", extract_triples_udf(F.col("text")))
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.explode("_t").alias("t"),
+        )
+        .select("url", "warc_ts", "lang", "t.*")
+    )
+
+
+def mentions_stage(pages_with_text: DataFrame) -> DataFrame:
+    """-> mentions(url, mention_id, surface, span_start, span_end, sentence_idx).
+
+    mention_id is content-derived (md5 of url+span) — deterministic under
+    any parallelism, like blarify's hashed node IDs
+    (graph/node/utils/id_calculator.py:10-12); never
+    monotonically_increasing_id.
+    """
+    return (
+        pages_with_text.withColumn("_m", extract_mentions_udf(F.col("text")))
+        .select("url", "lang", F.explode("_m").alias("m"))
+        .select("url", "lang", "m.*")
+        .withColumn(
+            "mention_id",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.col("url"), F.col("span_start"), F.col("span_end")
+                )
+            ),
+        )
+    )
