@@ -41,6 +41,7 @@ MENTION_STRUCT = T.StructType(
         T.StructField("span_start", T.IntegerType(), False),
         T.StructField("span_end", T.IntegerType(), False),
         T.StructField("sentence_idx", T.IntegerType(), False),
+        T.StructField("ctx", T.StringType(), False),
     ]
 )
 
@@ -91,7 +92,7 @@ def _mentions_of(text: str | None) -> list[tuple]:
     if not text:
         return []
     return [
-        (m["surface"], m["start"], m["end"], m["sentence_idx"])
+        (m["surface"], m["start"], m["end"], m["sentence_idx"], m["ctx"])
         for m in extract_mentions(text)
     ]
 
@@ -99,3 +100,23 @@ def _mentions_of(text: str | None) -> list[tuple]:
 @F.pandas_udf(T.ArrayType(MENTION_STRUCT))
 def extract_mentions_udf(text: pd.Series) -> pd.Series:
     return text.map(_mentions_of)
+
+
+# ---------------------------------------------------------------------------
+# UDF 4: context tokens -> deterministic pseudo-embedding (dim 16)
+# ---------------------------------------------------------------------------
+# The embedding model is a stub boundary: in production this is a real
+# encoder service (blarify analog: services/embedding_service.py:109-144,
+# dim-1536 vectors, content-hash cached). Here it is the same deterministic
+# hash embedding the alias dictionary uses, so cosine scoring is exact and
+# test-reproducible. The Spark plumbing (Arrow batch in, array<float> out)
+# is identical either way.
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def ctx_embedding_udf(tokens: pd.Series) -> pd.Series:
+    from blarify_spark.corpus import pseudo_embedding
+
+    return tokens.map(
+        lambda toks: pseudo_embedding([] if toks is None else list(toks))
+    )

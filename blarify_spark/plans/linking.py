@@ -1,0 +1,165 @@
+"""Stage 2 — entity linking: mentions -> (entity_id, score) via broadcast join.
+
+Spark restatement of blarify's reference resolution (the join stage,
+SURVEY.md §2.3):
+
+* L1/L2 symbol lookup + inverted-index probe
+  (reference: blarify/code_references/scip_helper.py:716-804,875-923)
+  -> one broadcast hash equi-join on the normalized surface form.
+* L3 candidate scoring / disambiguation
+  (reference: blarify/code_references/hybrid_resolver.py:145-185)
+  -> native column scoring (prior + context-token overlap + embedding
+  cosine) and a window top-1 per mention.
+
+Scale notes: the alias dictionary broadcasts (F.broadcast); scoring is
+pure codegen except the one Arrow UDF computing the mention context
+embedding; the only shuffle is the window's partitionBy(mention_id),
+which is uniform (mention_id is an md5) — no skew by construction even
+when one surface form dominates the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from blarify_spark.functions.udfs import ctx_embedding_udf
+from blarify_spark.functions.vector import cosine
+
+# Score weights (tunable; P/R slack lives here, SURVEY.md §7 hard-parts).
+W_PRIOR = 0.2
+W_TOKENS = 0.5
+W_EMBED = 0.3
+MIN_SCORE = 0.05
+
+
+def _tokenize_ctx(col: F.Column) -> F.Column:
+    """Lower-cased word tokens of the context sentence (native split)."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def link_mentions(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """mentions x alias_dict -> linked mentions with top-1 entity.
+
+    Output: url, mention_id, surface, sentence_idx, span_start, span_end,
+    entity_id, canonical_name, link_score, linked (bool). Unlinked
+    mentions (no dictionary candidate above MIN_SCORE) keep a
+    deterministic NIL entity keyed by their normalized surface — the
+    analog of blarify keeping unresolved references as plain USES edges
+    rather than dropping them (tree_sitter_helper.py:50-63 default case).
+    """
+    m = mentions.withColumn("surface_key", F.lower(F.col("surface"))).withColumn(
+        "m_tokens", _tokenize_ctx(F.col("ctx"))
+    )
+    # One Arrow UDF eval per mention (not per candidate pair): compute the
+    # mention embedding before the 1:N candidate join.
+    m = m.withColumn("m_embedding", ctx_embedding_udf(F.col("m_tokens")))
+
+    cand = m.join(
+        F.broadcast(alias_df), m.surface_key == alias_df["alias"], "left"
+    )
+
+    overlap = F.size(F.array_intersect(F.col("m_tokens"), F.col("ctx_tokens")))
+    denom = F.greatest(F.size(F.col("ctx_tokens")), F.lit(1))
+    score = (
+        F.lit(W_PRIOR) * F.coalesce(F.col("prior"), F.lit(0.0))
+        + F.lit(W_TOKENS) * (overlap / denom)
+        + F.lit(W_EMBED)
+        * F.greatest(cosine("m_embedding", "ctx_embedding"), F.lit(0.0))
+    )
+    cand = cand.withColumn(
+        "link_score",
+        F.when(F.col("entity_id").isNotNull(), F.round(score, 6)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )
+
+    # Top-1 per mention; deterministic tie-break on entity_id.
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc_nulls_last("link_score"), F.asc("entity_id")
+    )
+    best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    nil_id = F.md5(F.concat(F.lit("nil:"), F.col("surface_key")))
+    linked = F.col("entity_id").isNotNull() & (F.col("link_score") >= MIN_SCORE)
+    return best.select(
+        "url",
+        "mention_id",
+        "surface",
+        "sentence_idx",
+        "span_start",
+        "span_end",
+        linked.alias("linked"),
+        F.when(linked, F.col("entity_id")).otherwise(nil_id).alias("entity_id"),
+        F.when(linked, F.col("canonical_name"))
+        .otherwise(F.col("surface"))
+        .alias("canonical_name"),
+        F.coalesce("link_score", F.lit(0.0)).alias("link_score"),
+    )
+
+
+def link_triples(triples: DataFrame, linked_mentions: DataFrame) -> DataFrame:
+    """Resolve triple subj/obj surfaces to entity ids via the per-page
+    linked mentions (join on url + surface), producing entity-level edges.
+
+    The Spark analog of blarify's reference->edge step
+    (relationship_creator.py:17-57): subjects must resolve within the same
+    page context; objects fall back to a NIL entity when unlinked.
+    Self-loops are dropped (relationship_creator.py:22-29 analog).
+    """
+    # Per (url, surface) pick the best-scored link once — avoids exploding
+    # the join when a surface repeats on a page.
+    page_links = (
+        linked_mentions.groupBy("url", "surface")
+        .agg(
+            F.max_by("entity_id", "link_score").alias("entity_id"),
+            F.max_by("canonical_name", "link_score").alias("canonical_name"),
+            F.max("link_score").alias("link_score"),
+        )
+    )
+
+    s = page_links.select(
+        F.col("url").alias("s_url"),
+        F.col("surface").alias("s_surface"),
+        F.col("entity_id").alias("subj_id"),
+        F.col("canonical_name").alias("subj_name"),
+    )
+    o = page_links.select(
+        F.col("url").alias("o_url"),
+        F.col("surface").alias("o_surface"),
+        F.col("entity_id").alias("obj_id"),
+        F.col("canonical_name").alias("obj_name"),
+    )
+
+    nil_obj = F.md5(F.concat(F.lit("nil:"), F.lower(F.col("obj"))))
+    out = (
+        triples.join(
+            s,
+            (triples.url == s.s_url) & (triples.subj == s.s_surface),
+            "left",
+        )
+        .join(
+            o,
+            (triples.url == o.o_url) & (triples.obj == o.o_surface),
+            "left",
+        )
+        .select(
+            "url",
+            "warc_ts",
+            "subj",
+            "pred",
+            "obj",
+            "span_start",
+            "span_end",
+            F.coalesce(
+                "subj_id", F.md5(F.concat(F.lit("nil:"), F.lower(F.col("subj"))))
+            ).alias("subj_id"),
+            F.coalesce("subj_name", F.col("subj")).alias("subj_name"),
+            F.coalesce("obj_id", nil_obj).alias("obj_id"),
+            F.coalesce("obj_name", F.col("obj")).alias("obj_name"),
+        )
+        .filter(F.col("subj_id") != F.col("obj_id"))
+    )
+    return out

@@ -83,6 +83,7 @@ class Mention(TypedDict):
     start: int
     end: int
     sentence_idx: int
+    ctx: str  # the containing sentence (context for entity linking)
 
 
 class Triple(TypedDict):
@@ -143,6 +144,7 @@ def extract_mentions(text: str) -> list[Mention]:
                     start=sent["start"] + m.start(),
                     end=sent["start"] + m.end(),
                     sentence_idx=idx,
+                    ctx=sent["text"],
                 )
             )
     return mentions
