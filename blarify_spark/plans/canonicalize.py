@@ -1,0 +1,261 @@
+"""Stage 3 — canonicalization: exact dedup + fuzzy merge of entity nodes.
+
+Blarify deduplicates purely by deterministic ID — dict-insert by md5 key
+(reference: blarify/graph/graph.py:37-47, id calc
+blarify/graph/node/utils/id_calculator.py:10-12) plus a relative-id join
+for cross-version identity (utils/relative_id_calculator.py:3-7). Web
+entities additionally need fuzzy merge (D5 in SURVEY.md §2.4): the same
+real-world entity surfaces under near-duplicate names.
+
+Spark-first design, no UDFs anywhere in this stage:
+
+1. exact dedup      — groupBy(entity_id) (the md5-key merge, D1)
+2. blocking         — MinHash-LSH: char-3-gram shingles -> H minhashes ->
+                      B bands -> explode band keys -> self-join per bucket.
+                      All hashing is native (index-seeded xxhash64),
+                      so signatures are deterministic under any
+                      parallelism. Candidate pairs are O(near-dups), never
+                      the O(n^2) cross join.
+3. verification     — exact Jaccard over shingle arrays (array_intersect /
+                      array_union) >= threshold.
+4. components       — iterative min-label propagation over the similarity
+                      graph (bounded rounds, localCheckpoint per round to
+                      cut lineage — SURVEY.md §4 custom piece #3).
+5. canonical id     — min(entity_id) per component (deterministic), then
+                      edge endpoints remapped by join.
+
+Scale notes: the only shuffles are groupBy(band_key) (uniform md5-like
+keys), the pair self-join, and the per-round groupBy(node) min — each keyed
+by hashes, so skew-free by construction. Rounds are O(log n) for real
+near-dup clusters (diameter is tiny); ROUNDS_MAX bounds pathology like
+blarify's DFS depth cap 20 (repositories/graph_db_manager/queries.py:938).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash-LSH parameters: H = BANDS * ROWS_PER_BAND.
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.55
+ROUNDS_MAX = 20
+
+# Corporate/organizational suffix tokens ignored for name similarity.
+_SUFFIXES = ["inc", "corp", "corporation", "ltd", "llc", "co", "company", "gmbh"]
+
+
+def normalized_name(col) -> F.Column:  # noqa: ANN001
+    """Lower, strip punctuation, drop corporate suffix tokens, rejoin."""
+    tokens = F.filter(
+        F.split(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda t: (F.length(t) > 0) & ~t.isin(*_SUFFIXES),
+    )
+    return F.array_join(tokens, " ")
+
+
+def char_shingles(col, k: int = 3) -> F.Column:  # noqa: ANN001
+    """Distinct character k-grams of a string, natively.
+
+    substring() is 1-indexed; pad short names to at least k chars so every
+    node has >= 1 shingle.
+    """
+    # rpad truncates longer strings, so only pad when shorter than k
+    padded = F.when(F.length(col) < k, F.rpad(col, k, "_")).otherwise(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - (k - 1)),
+            lambda i: padded.substr(i, F.lit(k)),
+        )
+    )
+
+
+def build_entity_nodes(linked_triples: DataFrame) -> DataFrame:
+    """Entity node table from linked triple endpoints (exact dedup, D1).
+
+    node_id == entity_id (already an md5 of canonical name or NIL surface);
+    groupBy merges re-observations exactly like blarify's dict-insert.
+    """
+    subj = linked_triples.select(
+        F.col("subj_id").alias("node_id"), F.col("subj_name").alias("name")
+    )
+    obj = linked_triples.select(
+        F.col("obj_id").alias("node_id"), F.col("obj_name").alias("name")
+    )
+    return (
+        subj.unionByName(obj)
+        .groupBy("node_id")
+        .agg(
+            F.min("name").alias("name"),  # deterministic representative
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def _minhash_signature(shingle_col) -> F.Column:  # noqa: ANN001
+    """H deterministic minhashes as an array<long>, fully native.
+
+    h_i(s) = xxhash64(i, s) — the literal index seeds an independent hash
+    family member; no modular arithmetic, no long overflow.
+    """
+
+    def _hash_fn(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sigs = [
+        F.array_min(F.transform(shingle_col, _hash_fn(i)))
+        for i in range(NUM_HASHES)
+    ]
+    return F.array(*sigs)
+
+
+def candidate_pairs(nodes: DataFrame) -> DataFrame:
+    """LSH-blocked candidate pairs verified by exact Jaccard.
+
+    Returns (src, dst) with src < dst, Jaccard >= threshold.
+    """
+    prepared = nodes.select(
+        "node_id",
+        char_shingles(normalized_name(F.col("name"))).alias("shingles"),
+    ).withColumn("sig", _minhash_signature(F.col("shingles")))
+
+    bands = prepared.select(
+        "node_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(bi),
+                            *[
+                                F.col("sig")[bi * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+    left = bands.select(
+        F.col("band_key"),
+        F.col("node_id").alias("src"),
+        F.col("shingles").alias("src_sh"),
+    )
+    right = bands.select(
+        F.col("band_key"),
+        F.col("node_id").alias("dst"),
+        F.col("shingles").alias("dst_sh"),
+    )
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("src") < F.col("dst"))
+        .drop("band_key")
+        .dropDuplicates(["src", "dst"])
+    )
+    jaccard = F.size(F.array_intersect("src_sh", "dst_sh")) / F.size(
+        F.array_union("src_sh", "dst_sh")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = ROUNDS_MAX
+) -> DataFrame:
+    """Min-label propagation over the similarity graph.
+
+    Returns (node_id, canon_id). Nodes without any similar pair map to
+    themselves. Each round: every node takes the min label over itself and
+    its neighbors; terminate when no label changes (checked via a cheap
+    aggregate) or after max_rounds.
+    """
+    sym = pairs.select("src", "dst").union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("node_id"), F.col("node_id").alias("canon_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node_id)
+            .groupBy("src")
+            .agg(F.min("canon_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node_id == neighbor_min.src, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("canon_id"), F.coalesce("nbr_min", F.col("canon_id"))
+                ).alias("canon_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.canon_id") != F.col("o.canon_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(
+    linked_triples: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full canonicalization: returns (nodes, edges, mapping).
+
+    nodes: canon_id, name, n_mentions (merged)
+    edges: subj_id/obj_id remapped to canonical ids, self-loops dropped
+    mapping: node_id -> canon_id
+    """
+    raw_nodes = build_entity_nodes(linked_triples)
+    pairs = candidate_pairs(raw_nodes)
+    mapping = connected_components(raw_nodes, pairs)
+
+    nodes = (
+        raw_nodes.join(mapping, "node_id")
+        .groupBy("canon_id")
+        .agg(
+            F.min("name").alias("name"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+    )
+
+    smap = mapping.select(
+        F.col("node_id").alias("subj_id"), F.col("canon_id").alias("subj_canon")
+    )
+    omap = mapping.select(
+        F.col("node_id").alias("obj_id"), F.col("canon_id").alias("obj_canon")
+    )
+    edges = (
+        linked_triples.join(smap, "subj_id")
+        .join(omap, "obj_id")
+        .select(
+            "url",
+            "warc_ts",
+            "pred",
+            "span_start",
+            "span_end",
+            F.col("subj_canon").alias("subj_id"),
+            F.col("obj_canon").alias("obj_id"),
+            "subj",
+            "obj",
+        )
+        .filter(F.col("subj_id") != F.col("obj_id"))
+    )
+    return nodes, edges, mapping
