@@ -1,0 +1,273 @@
+"""Deduplication operators over the `documents` table.
+
+The training-data-pipeline dedup family (task brief) anchored to blarify's
+dedup semantics: exact = the ID-keyed merge (graph/graph.py:37-47), fuzzy =
+our MinHash-LSH canonicalization (SURVEY.md §2.4 D5). Exact and n-gram
+Jaccard carry DuckDB oracles; hash-family ops (MinHash, SimHash) are
+engine-hash-dependent and validated instead by pytest against exact
+similarity (tests/test_dedup_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blarify_spark.operators.registry import register
+from blarify_spark.sources.tables import load_tables
+
+NGRAM_N = 3
+JACCARD_MIN = 0.5
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band -> candidates within hamming <= 3-ish
+MINHASH_H = 16
+MINHASH_BANDS = 4
+
+
+def word_ngrams(col, n: int = NGRAM_N):  # noqa: ANN001
+    """Distinct word n-gram shingles of a whitespace-tokenized string."""
+    toks = F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy) — D1 analog
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; canonical = min doc_id
+    (deterministic representative, blarify graph.py:37-47 merge)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact, SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= threshold via shingle self-join
+    (the ground truth the LSH path approximates)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sh = (
+        t["documents"]
+        .filter(F.size(F.split("text", " ")) >= NGRAM_N)
+        .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (the scale path; engine-hash based -> rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH blocked near-dup pairs with exact-Jaccard verification.
+
+    Same construction as entity canonicalization
+    (blarify_spark.plans.canonicalize) but over word-3-gram document
+    shingles: 16 index-seeded xxhash64 minhashes, 4 bands -> bucket
+    self-join -> exact verify. O(near-dups), not O(n^2); xxhash64 is
+    engine-specific so correctness is pinned by pytest vs
+    dedup_ngram_jaccard instead of a DuckDB oracle.
+    """
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = (
+        t["documents"]
+        .filter(F.size(F.split("text", " ")) >= NGRAM_N)
+        .select("doc_id", word_ngrams(F.col("text")).alias("shingles"))
+    )
+
+    def _minhash(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _minhash(i)))
+            for i in range(MINHASH_H)
+        ]
+    )
+    rows_per_band = MINHASH_H // MINHASH_BANDS
+    docs = docs.withColumn("sig", sig)
+    bands = docs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(bi),
+                            *[
+                                F.col("sig")[bi * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        "band_key", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    b = bands.select(
+        "band_key", F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (bit-sketch; engine-hash based -> rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document + banded blocking + hamming<=3 verify.
+
+    Each bit j is the sign of sum over tokens of (2*bit_j(xxhash64(tok))-1)
+    — all native expressions, no UDF. Candidates from 4x8-bit band
+    equality; verified with bit_count(xor) <= 3.
+    """
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    docs = t["documents"].select("doc_id", toks.alias("toks"))
+
+    def _bit_vote(j: int):
+        return F.aggregate(
+            F.col("toks"),
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.when(
+                F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(_bit_vote(j) > 0, F.lit(1 << j)).otherwise(0)
+    docs = docs.withColumn("simhash", sim)
+
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(bi),
+                        F.shiftright(F.col("simhash"), bi * band_bits).bitwiseAND(
+                            F.lit(mask)
+                        ),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        "band_key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    b = bands.select(
+        "band_key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,729 @@
+"""Relational operator surface — SURVEY.md §2.6 coverage with DuckDB oracles.
+
+Each query re-expresses a reference pattern (cited per query) over the
+driver's TPC-H-ish testdata. Determinism rules (see registry docstring):
+DECIMAL-cast money math, total ORDER BY tie-breaks, identical aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from blarify_spark.operators.registry import register
+from blarify_spark.sources.tables import load_tables
+
+
+def _dec(col, scale: int = 2):  # noqa: ANN001
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Scans, projections, filters (S1/S2, Q9 analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side filter pushdown (blarify project_files_iterator.py:85-100
+    analog): predicates stay under the parquet scan."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (S6/Q20/E7 analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style full-scan aggregate (top-N diagnostics analog,
+    blarify project_graph_creator.py:227-237)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_stats_supplier",
+    oracle="""
+    SELECT n_name,
+      COUNT(*) AS n_suppliers,
+      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+      CAST(MAX(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def agg_stats_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by stats (complexity-stats analog, blarify stats/complexity.py:22-80)."""
+    t = load_tables(spark, sf_dir, ["supplier", "nation"])
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"),
+            F.min(_dec("s_acctbal")).cast("double").alias("min_bal"),
+            F.max(_dec("s_acctbal")).cast("double").alias("max_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "rollup_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "pivot_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'O'
+        THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_o,
+      CAST(SUM(CASE WHEN l_linestatus = 'F'
+        THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def pivot_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+
+    def _cond(status: str):
+        return F.sum(
+            F.when(F.col("l_linestatus") == status, _dec("l_quantity")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).cast("double")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(_cond("O").alias("qty_o"), _cond("F").alias("qty_f"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (L1/L2/S5/S8, Q3/Q5 analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+)
+def hash_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join (symbol-lookup analog, blarify scip_helper.py:716-746)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "broadcast_join_nation_region",
+    oracle="""
+    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def broadcast_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join of a tiny dim (alias-dictionary analog,
+    blarify scip_helper.py:362-465)."""
+    t = load_tables(spark, sf_dir, ["nation", "region"])
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "r_name")
+    )
+
+
+@register(
+    "anti_join_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (leaf/entry-point detection analog,
+    blarify queries.py:397-419,1677-1701)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    big = t["orders"].filter(F.col("o_totalprice") > 450000)
+    return t["customer"].join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join_part_presence",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT
+      CASE WHEN l_partkey IS NULL THEN 'part_only'
+           WHEN p_partkey IS NULL THEN 'lineitem_only'
+           ELSE 'both' END AS presence,
+      COUNT(*) AS n
+    FROM part FULL OUTER JOIN lp ON p_partkey = l_partkey
+    GROUP BY 1 ORDER BY presence
+    """,
+)
+def outer_join_part_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer diff classification (cross-version identity analog,
+    blarify project_graph_diff_creator.py:131-179)."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    lp = t["lineitem"].select("l_partkey").distinct()
+    return (
+        t["part"]
+        .join(lp, F.col("p_partkey") == F.col("l_partkey"), "full_outer")
+        .select(
+            F.when(F.col("l_partkey").isNull(), "part_only")
+            .when(F.col("p_partkey").isNull(), "lineitem_only")
+            .otherwise("both")
+            .alias("presence")
+        )
+        .groupBy("presence")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("presence")
+    )
+
+
+@register(
+    "range_join_ship_window",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_within
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join (innermost-scope containment analog,
+    blarify definition_node.py:72-98 / relationship_creator.py:17-57)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o, li = t["orders"], t["lineitem"]
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .groupBy("o_orderkey")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"]
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    return (
+        t["region"]
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(t["nation"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (L3 top-1, Q6/Q7 lag, Q17 ordering analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (candidate-disambiguation analog,
+    blarify hybrid_resolver.py:145-185 -> row_number()==1)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "window_lag_events",
+    oracle="""
+    SELECT user_id, event_id, value,
+      value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS delta
+    FROM events
+    """,
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() boundary detection (bridge-edge synthesis analog,
+    blarify queries.py:1144-1290)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort + limit, set ops (Q9/Q13/Q14, Q11/diff analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_customers_by_balance",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+)
+def topk_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    return (
+        t["customer"]
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "set_except_building_no_f",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_building_no_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    a = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.distinct().exceptAll(b.distinct())
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "union_account_events",
+    oracle="""
+    SELECT c_custkey AS id, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def union_account_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-direction UNION (neighborhood query analog, blarify queries.py:119-146)."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    a = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("id"), F.lit("customer").alias("kind"))
+    )
+    b = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_suppkey").alias("id"), F.lit("supplier").alias("kind"))
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Strings, dates, JSON, arrays (Q9/Q10/D4 + §2.6 rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_search_documents",
+    oracle="""
+    SELECT doc_id, substr(text, 1, 60) AS snippet
+    FROM documents WHERE text LIKE '%window%'
+    ORDER BY doc_id LIMIT 20
+    """,
+)
+def string_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text containment search (blarify queries.py:1746-1769)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .filter(F.col("text").contains("window"))
+        .select("doc_id", F.substring("text", 1, 60).alias("snippet"))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "regex_grep_documents",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, 'key.*table.*scan') ORDER BY doc_id
+    """,
+)
+def regex_grep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex grep (blarify queries.py:1816-1848)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .filter(F.col("text").rlike("key.*table.*scan"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "string_id_hash_parts",
+    oracle="""
+    SELECT p_partkey,
+      md5(lower(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name_hash,
+      concat_ws('#', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_id_hash_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived ids (blarify id_calculator.py:10-12,
+    content-equivalence regex normalize definition_node.py:167-172)."""
+    t = load_tables(spark, sf_dir, ["part"])
+    return t["part"].select(
+        "p_partkey",
+        F.md5(F.lower(F.regexp_replace("p_name", r"\s+", " "))).alias("name_hash"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "datetime_hourly_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
+    """,
+)
+def datetime_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window aggregation over the events stream table (SURVEY.md
+    §2.6 date/time row)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+@register(
+    "datetime_dow_orders",
+    oracle="""
+    SELECT EXTRACT(dow FROM o_orderdate) + 1 AS dow, COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY dow
+    """,
+)
+def datetime_dow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy(F.dayofweek("o_orderdate").cast("bigint").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dow")
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY k_bucket
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (blame-JSON analog,
+    blarify relationship_creator.py:341-349)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .select(
+            (
+                F.get_json_object("props", "$.k").cast("int") % 10
+            ).alias("k_bucket")
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "array_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def array_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over split arrays (mention-array explode analog,
+    SURVEY.md §2.2 E2)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_stats_top_sources",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY source ORDER BY total_chars DESC, source LIMIT 10
+    """,
+)
+def corpus_stats_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats scan (blarify project_files_stats.py top-N)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(F.desc("total_chars"), F.asc("source"))
+        .limit(10)
+    )

@@ -1,0 +1,221 @@
+"""Stage 4 — materialize nodes/edges/triples with lineage + exactly-once resume.
+
+Blarify persists via idempotent APOC merges in batches
+(reference: blarify/repositories/graph_db_manager/neo4j_manager.py:87-197,
+merge-on-key :128-142) and tracks long-running work with leased DB state
+(processing_status / processing_run_id,
+documentation/queries/batch_processing_queries.py:39-399). The Spark
+restatement (SURVEY.md Q16 / §3.2):
+
+* tables are partitioned parquet dirs (Iceberg DDL identical modulo
+  `USING iceberg`; snapshot commit = our _SUCCESS marker + manifest row)
+* idempotency comes from deterministic content-derived keys plus
+  dropDuplicates before write — a re-run produces byte-identical tables
+* the checkpoint manifest is a per-(run_id, stage) record with
+  per-partition lineage (partition id, row count) written ONLY after the
+  stage's data commit succeeds; resume consults it and replays only
+  missing stages — kill-after-stage-k then rerun yields identical output
+* head-entity skew at write time is handled by salted repartitioning:
+  the shuffle key is (subj_id, salt) so one dominant entity spreads over
+  SALT_BUCKETS writers instead of one straggler task
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SALT_BUCKETS = 8
+
+TRIPLE_COLS = [
+    "url",
+    "warc_ts",
+    "pred",
+    "subj_id",
+    "obj_id",
+    "subj",
+    "obj",
+    "span_start",
+    "span_end",
+]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint manifest
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(out_dir: str, run_id: str, stage: str) -> str:
+    return os.path.join(out_dir, "_manifest", run_id, f"{stage}.json")
+
+
+def stage_committed(out_dir: str, run_id: str, stage: str) -> bool:
+    return os.path.exists(_manifest_path(out_dir, run_id, stage))
+
+
+def read_manifest(out_dir: str, run_id: str, stage: str) -> dict:
+    with open(_manifest_path(out_dir, run_id, stage)) as fh:
+        return json.load(fh)
+
+
+def _commit_stage(
+    df: DataFrame, out_dir: str, run_id: str, stage: str, path: str
+) -> None:
+    """Write per-partition lineage rows, then the manifest marker.
+
+    The data files were already committed (parquet _SUCCESS) by the
+    caller; the manifest write is the stage's commit point — a crash
+    between data write and manifest write causes a clean re-write of the
+    same deterministic data on resume (idempotent), never a half-read.
+    """
+    lineage = [
+        {"partition_id": int(r["pid"]), "rows_out": int(r["n"])}
+        for r in df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    manifest = {
+        "run_id": run_id,
+        "stage": stage,
+        "path": path,
+        "rows_out": sum(r["rows_out"] for r in lineage),
+        "n_partitions": len(lineage),
+        "lineage": sorted(lineage, key=lambda r: r["partition_id"]),
+    }
+    mpath = _manifest_path(out_dir, run_id, stage)
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, mpath)  # atomic rename = commit
+
+
+def materialize_stage(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    stage: str,
+    compute: Callable[[], DataFrame],
+    partition_cols: list[str] | None = None,
+    salt_on: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Run one pipeline stage with checkpoint-resume semantics.
+
+    If the (run_id, stage) manifest exists, the stage is skipped and its
+    output is read back (exactly-once). Otherwise compute -> write ->
+    commit manifest.
+    """
+    path = os.path.join(out_dir, stage)
+    if resume and stage_committed(out_dir, run_id, stage):
+        return spark.read.parquet(path)
+
+    df = compute()
+    if salt_on is not None:
+        # Composite shuffle key: head entity rows spread over SALT_BUCKETS
+        # writer tasks instead of hot-spotting one. Explicit partition count
+        # so AQE cannot coalesce the salt away (at cluster scale set this
+        # to ~2-3x total cores).
+        df = df.repartition(
+            SALT_BUCKETS,
+            F.col(salt_on),
+            F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS)),
+        )
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+    out = spark.read.parquet(path)
+    _commit_stage(out, out_dir, run_id, stage, path)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run0",
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """pages -> {triples, nodes, edges} materialized under out_dir.
+
+    Stage graph (each stage checkpoint-resumable):
+      extract   : per-page text + raw status (shuffle-free)
+      triples   : exploded SVO rows with provenance
+      linked    : entity-resolved triples (broadcast linking)
+      nodes     : canonical entity nodes
+      edges     : canonical edges, salted repartition on subj_id
+    """
+    from blarify_spark.plans.canonicalize import canonicalize
+    from blarify_spark.plans.extract import (
+        extract_text_stage,
+        mentions_stage,
+        triples_stage,
+    )
+    from blarify_spark.plans.linking import link_mentions, link_triples
+    from blarify_spark.sources.alias import alias_dict
+
+    extracted = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "extract",
+        lambda: extract_text_stage(pages).withColumn(
+            "warc_date", F.to_date("warc_ts")
+        ),
+        partition_cols=["lang"],
+        resume=resume,
+    )
+
+    triples = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "triples",
+        lambda: triples_stage(extracted),
+        resume=resume,
+    )
+
+    linked = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "linked",
+        lambda: link_triples(
+            triples, link_mentions(mentions_stage(extracted), alias_dict(spark))
+        ),
+        resume=resume,
+    )
+
+    # canonicalize() yields nodes+edges together; compute once, stage both.
+    _canon_cache: dict[str, DataFrame] = {}
+
+    def _canon() -> tuple[DataFrame, DataFrame]:
+        if not _canon_cache:
+            nodes, edges, _ = canonicalize(linked)
+            _canon_cache["nodes"] = nodes
+            _canon_cache["edges"] = edges
+        return _canon_cache["nodes"], _canon_cache["edges"]
+
+    nodes = materialize_stage(
+        spark, out_dir, run_id, "nodes", lambda: _canon()[0], resume=resume
+    )
+    edges = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "edges",
+        lambda: _canon()[1].select(*TRIPLE_COLS),
+        salt_on="subj_id",
+        resume=resume,
+    )
+    return {"triples": triples, "nodes": nodes, "edges": edges}

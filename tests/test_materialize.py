@@ -1,0 +1,113 @@
+"""Materialize + resume + incremental-update tests (FIXTURES.md §3 gates)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from blarify_spark import corpus
+from blarify_spark.plans.diff import classify_pages, incremental_triples
+from blarify_spark.plans.extract import extract_text_stage, triples_stage
+from blarify_spark.plans.materialize import (
+    read_manifest,
+    run_pipeline,
+    stage_committed,
+)
+from blarify_spark.ref import extract_text_bytes, extract_triples
+from blarify_spark.sources.pages import pages_from_rows
+
+
+def _snap(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def out_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("kg_out"))
+
+
+def test_full_pipeline_materializes_with_manifests(spark, fixture_pages, out_dir):
+    tables = run_pipeline(spark, fixture_pages, out_dir, run_id="r1")
+    assert tables["triples"].count() > 100
+    assert tables["nodes"].count() > 10
+    assert tables["edges"].count() > 100
+    for stage in ["extract", "triples", "linked", "nodes", "edges"]:
+        assert stage_committed(out_dir, "r1", stage), stage
+        m = read_manifest(out_dir, "r1", stage)
+        assert m["rows_out"] > 0
+        assert sum(r["rows_out"] for r in m["lineage"]) == m["rows_out"]
+
+
+def test_resume_skips_completed_stages_and_is_identical(
+    spark, fixture_pages, out_dir
+):
+    before = _snap(
+        spark.read.parquet(os.path.join(out_dir, "edges")),
+        ["url", "pred", "subj_id", "obj_id"],
+    )
+    # simulate kill-after-stage-k: drop manifests for the last two stages
+    for stage in ["nodes", "edges"]:
+        os.remove(os.path.join(out_dir, "_manifest", "r1", f"{stage}.json"))
+        shutil.rmtree(os.path.join(out_dir, stage))
+    tables = run_pipeline(spark, fixture_pages, out_dir, run_id="r1")
+    after = _snap(tables["edges"], ["url", "pred", "subj_id", "obj_id"])
+    assert before == after
+
+
+def test_rerun_full_is_idempotent(spark, fixture_pages, out_dir, tmp_path):
+    d2 = str(tmp_path / "kg2")
+    t1 = run_pipeline(spark, fixture_pages, out_dir, run_id="r1")
+    t2 = run_pipeline(spark, fixture_pages, d2, run_id="rX")
+    cols = ["url", "pred", "subj_id", "obj_id", "subj", "obj"]
+    assert _snap(t1["edges"], cols) == _snap(t2["edges"], cols)
+
+
+def test_classify_pages_diff(spark, fixture_pages):
+    rows = corpus.generate_pages(64)
+    snap2 = pages_from_rows(spark, corpus.generate_incremental_snapshot(rows))
+    changes = classify_pages(fixture_pages, snap2)
+    counts = {
+        r["change"]: r["n"]
+        for r in changes.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["ADDED"] == 2
+    assert counts["DELETED"] == 1
+    assert counts["MODIFIED"] == 2
+    assert counts["UNCHANGED"] == 61
+
+
+def test_incremental_triples_match_full_recompute(spark, fixture_pages):
+    """Incremental merge == recompute-from-scratch on snapshot 2."""
+    rows = corpus.generate_pages(64)
+    snap2_rows = corpus.generate_incremental_snapshot(rows)
+    snap2 = pages_from_rows(spark, snap2_rows)
+
+    old_triples = triples_stage(extract_text_stage(fixture_pages))
+    inc = incremental_triples(fixture_pages, snap2, old_triples)
+
+    # golden: pure-Python extraction over snapshot 2
+    expected = sorted(
+        (r["url"], t["subj"], t["pred"], t["obj"])
+        for r in snap2_rows
+        for t in extract_triples(extract_text_bytes(r["html"]))
+    )
+    got = sorted(
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in inc.select("url", "subj", "pred", "obj").collect()
+    )
+    assert got == expected
+
+
+def test_edges_partitioning_spreads_head_entity(spark, fixture_pages, out_dir):
+    """Salted write: the dominant head entity must span >1 output partition."""
+    edges = spark.read.parquet(os.path.join(out_dir, "edges"))
+    hooli = edges.filter(F.col("subj") == "Hooli")
+    nfiles = (
+        hooli.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert hooli.count() >= 8
+    assert nfiles > 1  # head entity spread across multiple writer outputs
