@@ -1,38 +1,72 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship KG pipeline over sf0.001 documents + the
+                 deterministic fixture corpus; returns resolved triples.
+queries()      — every implemented operator from SURVEY.md §2
+                 (blarify_spark.operators registry).
+oracle_sql()   — DuckDB twins for the SQL-expressible subset; hash/UDF
+                 dependent ops (KG pipeline, MinHash/SimHash/LSH) are
+                 rows-only and pinned by the pytest suite instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG construction (extract -> link -> triples).
+
+    Loads sf0.001 documents.parquet as extra web-text pages (wrapped in
+    deterministic HTML) alongside the fixture corpus, runs the pipeline,
+    and returns the entity-resolved triple table.
+    """
+    from pyspark.sql import functions as F
+
+    from blarify_spark import corpus
+    from blarify_spark.plans.extract import (
+        extract_text_stage,
+        mentions_stage,
+        triples_stage,
+    )
+    from blarify_spark.plans.linking import link_mentions, link_triples
+    from blarify_spark.sources.alias import alias_dict
+    from blarify_spark.sources.pages import pages_from_rows
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc_pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.concat(
+            F.lit("<html><head><title>doc</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+        F.lit("sf_documents").alias("family"),
+    )
+    fixture = pages_from_rows(spark, corpus.generate_pages(64))
+    pages = fixture.unionByName(doc_pages)
+
+    extracted = extract_text_stage(pages)
+    linked = link_mentions(mentions_stage(extracted), alias_dict(spark))
+    return link_triples(triples_stage(extracted), linked)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from blarify_spark.operators.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from blarify_spark.operators.registry import all_oracles
+
+    return all_oracles()

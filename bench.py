@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG pipeline
+(extract -> link -> triples) over a deterministically synthesized page
+corpus, reporting triples/sec (the BASELINE.json metric).
+
+For the N-vs-4N scaling evidence (north_rule), run scale_bench.py which
+invokes this file at two parallelism levels and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "4000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "range_join_ship_window",
+    "window_rank_orders",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    from blarify_spark.session import get_spark
+    from blarify_spark.operators.registry import all_queries
+
+    spark = get_spark(cores=CPUS, app_name="blarify_spark_bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/scan caches out of the timed region
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    headline = (
+        [] if os.environ.get("SPARK_GRAFT_BENCH_KG_ONLY") == "1" else HEADLINE
+    )
+    for name in headline:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput (triples/sec, BASELINE.json metric)
+    from blarify_spark import corpus
+    from blarify_spark.plans.extract import (
+        extract_text_stage,
+        mentions_stage,
+        triples_stage,
+    )
+    from blarify_spark.plans.linking import link_mentions, link_triples
+    from blarify_spark.sources.alias import alias_dict
+    from blarify_spark.sources.pages import pages_from_rows
+
+    rows = corpus.generate_pages(KG_PAGES)
+    pages = pages_from_rows(spark, rows).repartition(CPUS * 2).cache()
+    pages.count()  # materialize input out of the timed region
+
+    t0 = time.perf_counter()
+    extracted = extract_text_stage(pages)
+    linked = link_mentions(mentions_stage(extracted), alias_dict(spark))
+    triples = link_triples(triples_stage(extracted), linked)
+    n_triples = triples.count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "kg_pages": KG_PAGES,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

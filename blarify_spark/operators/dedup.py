@@ -19,8 +19,11 @@ NGRAM_N = 3
 JACCARD_MIN = 0.5
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band -> candidates within hamming <= 3-ish
-MINHASH_H = 16
-MINHASH_BANDS = 4
+# 32 hashes in 16 bands of 2 rows: detect P = 1-(1-j^2)^16, i.e. ~0.99
+# at j=0.5 and ~1.0 at j=0.8; random low-j pairs stay rare enough that
+# the verify join is O(near-dups).
+MINHASH_H = 32
+MINHASH_BANDS = 16
 
 
 def word_ngrams(col, n: int = NGRAM_N):  # noqa: ANN001

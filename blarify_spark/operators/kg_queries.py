@@ -1,0 +1,292 @@
+"""KG query surface over the materialized graph (SURVEY.md §2.5 Q1-Q14).
+
+These run the actual KG pipeline on the deterministic fixture corpus
+(seeded, sf-independent) and answer blarify's Cypher query equivalents in
+Spark SQL. They are UDF-derived (extraction) and hash-derived (ids), so
+the driver records rows-only checks; exact semantics are pinned by the
+pytest suite instead.
+
+A per-session cache keeps the pipeline from recomputing for every query
+the driver invokes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from blarify_spark.operators.registry import register
+
+_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
+def _kg(spark: SparkSession) -> dict[str, DataFrame]:
+    """Build (once per session) pages/mentions/triples/nodes/edges."""
+    key = id(spark)
+    if key not in _CACHE:
+        from blarify_spark import corpus
+        from blarify_spark.plans.canonicalize import canonicalize
+        from blarify_spark.plans.extract import (
+            extract_text_stage,
+            mentions_stage,
+            triples_stage,
+        )
+        from blarify_spark.plans.linking import link_mentions, link_triples
+        from blarify_spark.sources.alias import alias_dict
+        from blarify_spark.sources.pages import pages_from_rows
+
+        pages = extract_text_stage(
+            pages_from_rows(spark, corpus.generate_pages(64))
+        ).cache()
+        mentions = mentions_stage(pages)
+        linked = link_mentions(mentions, alias_dict(spark)).cache()
+        ltriples = link_triples(triples_stage(pages), linked).cache()
+        nodes, edges, mapping = canonicalize(ltriples)
+        _CACHE[key] = {
+            "pages": pages,
+            "linked_mentions": linked,
+            "triples": ltriples,
+            "nodes": nodes.cache(),
+            "edges": edges.cache(),
+        }
+    return _CACHE[key]
+
+
+@register("kg_flagship_triples", oracle=None)
+def kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship output: entity-resolved (subj, pred, obj) with
+    provenance — blarify's graph build end product restated."""
+    return _kg(spark)["triples"].select(
+        "url", "subj", "pred", "obj", "subj_id", "obj_id"
+    ).orderBy("url", "span_start")
+
+
+@register("kg_nodes", oracle=None)
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kg(spark)["nodes"].orderBy("canon_id")
+
+
+@register("kg_edge_type_counts", oracle=None)
+def kg_edge_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: top relationship types."""
+    return (
+        _kg(spark)["edges"]
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pred"))
+    )
+
+
+@register("kg_leaf_entities", oracle=None)
+def kg_leaf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analog: nodes with no outgoing edges (left_anti on src)."""
+    kg = _kg(spark)
+    return (
+        kg["nodes"]
+        .join(
+            kg["edges"].select(F.col("subj_id").alias("canon_id")),
+            "canon_id",
+            "left_anti",
+        )
+        .select("canon_id", "name")
+        .orderBy("canon_id")
+    )
+
+
+@register("kg_entrypoint_entities", oracle=None)
+def kg_entrypoint_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 analog: entities that are never an object (no incoming edges)."""
+    kg = _kg(spark)
+    return (
+        kg["nodes"]
+        .join(
+            kg["edges"].select(F.col("obj_id").alias("canon_id")),
+            "canon_id",
+            "left_anti",
+        )
+        .select("canon_id", "name")
+        .orderBy("canon_id")
+    )
+
+
+@register("kg_khop_reach", oracle=None)
+def kg_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 analog: bounded k-hop frontier expansion (k=3) from every
+    entry-point entity over relates_to edges, with path length."""
+    kg = _kg(spark)
+    edges = kg["edges"].select("subj_id", "obj_id").distinct()
+    frontier = kg["nodes"].select(
+        F.col("canon_id").alias("root"), F.col("canon_id").alias("node")
+    )
+    reached = frontier.withColumn("depth", F.lit(0))
+    for depth in range(1, 4):
+        step = (
+            frontier.join(edges, frontier.node == edges.subj_id)
+            .select("root", F.col("obj_id").alias("node"))
+            .distinct()
+        )
+        frontier = step.join(
+            reached.select("root", "node"), ["root", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(
+            frontier.withColumn("depth", F.lit(depth))
+        )
+    return (
+        reached.filter(F.col("depth") > 0)
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_reachable"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("root")
+    )
+
+
+@register("kg_text_search", oracle=None)
+def kg_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog: substring search over page text, LIMIT 20, snippet."""
+    return (
+        _kg(spark)["pages"]
+        .filter(F.col("text").contains("capital"))
+        .select("url", F.substring("text", 1, 200).alias("snippet"))
+        .orderBy("url")
+        .limit(20)
+    )
+
+
+@register("kg_grep_pages", oracle=None)
+def kg_grep_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 analog: regex grep with case-insensitive flag."""
+    return (
+        _kg(spark)["pages"]
+        .filter(F.col("text").rlike(r"(?i)hooli|mercury"))
+        .select("url", "lang")
+        .orderBy("url")
+    )
+
+
+@register("kg_neighborhood", oracle=None)
+def kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog: 1-hop neighborhood of the busiest entity (in + out
+    via unionByName)."""
+    kg = _kg(spark)
+    top = (
+        kg["edges"]
+        .groupBy("subj_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("subj_id"))
+        .limit(1)
+        .select(F.col("subj_id").alias("center"))
+    )
+    e = kg["edges"]
+    out_edges = e.join(F.broadcast(top), e.subj_id == F.col("center")).select(
+        F.lit("out").alias("direction"), "pred", F.col("obj_id").alias("neighbor")
+    )
+    in_edges = e.join(F.broadcast(top), e.obj_id == F.col("center")).select(
+        F.lit("in").alias("direction"), "pred", F.col("subj_id").alias("neighbor")
+    )
+    return (
+        out_edges.unionByName(in_edges)
+        .distinct()
+        .orderBy("direction", "pred", "neighbor")
+    )
+
+
+@register("kg_vector_entity_search", oracle=None)
+def kg_vector_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analog: top-k entities by context-embedding cosine to a query
+    ('cloud platform apps')."""
+    from blarify_spark.corpus import pseudo_embedding
+    from blarify_spark.functions.vector import cosine
+    from blarify_spark.sources.alias import alias_dict
+
+    qvec = pseudo_embedding(["cloud", "platform", "apps"])
+    ents = alias_dict(spark).select(
+        "entity_id", "canonical_name", "ctx_embedding"
+    ).dropDuplicates(["entity_id"])
+    return (
+        ents.withColumn(
+            "score",
+            F.round(
+                cosine(
+                    "ctx_embedding",
+                    F.array(*[F.lit(v).cast("float") for v in qvec]),
+                ),
+                6,
+            ),
+        )
+        .select("canonical_name", "score")
+        .orderBy(F.desc("score"), F.asc("canonical_name"))
+        .limit(5)
+    )
+
+
+@register("kg_hybrid_search", oracle=None)
+def kg_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 analog: weighted fusion of vector score and keyword CASE score
+    (blarify queries.py:2322-2356), threshold + top-k."""
+    from blarify_spark.corpus import pseudo_embedding
+    from blarify_spark.functions.vector import cosine
+    from blarify_spark.sources.alias import alias_dict
+
+    qvec = pseudo_embedding(["research", "laboratory", "science"])
+    kw = "labs"
+    ents = alias_dict(spark).dropDuplicates(["entity_id"])
+    vec_score = cosine(
+        "ctx_embedding", F.array(*[F.lit(v).cast("float") for v in qvec])
+    )
+    kw_score = (
+        F.when(F.lower(F.col("canonical_name")).contains(kw), 1.0)
+        .when(F.array_contains(F.col("ctx_tokens"), kw), 0.8)
+        .otherwise(0.0)
+    )
+    combined = F.round(0.6 * vec_score + 0.4 * kw_score, 6)
+    return (
+        ents.withColumn("combined", combined)
+        .filter(F.col("combined") > 0.1)
+        .select("canonical_name", "combined")
+        .orderBy(F.desc("combined"), F.asc("canonical_name"))
+        .limit(5)
+    )
+
+
+@register("kg_dependency_ready", oracle=None)
+def kg_dependency_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: bottom-up readiness — entities all of whose outgoing
+    targets are leaves (children-complete frontier)."""
+    kg = _kg(spark)
+    edges = kg["edges"].select("subj_id", "obj_id").distinct()
+    leaves = kg["nodes"].join(
+        edges.select(F.col("subj_id").alias("canon_id")), "canon_id", "left_anti"
+    ).select(F.col("canon_id").alias("obj_id")).withColumn("is_leaf", F.lit(1))
+    ready = (
+        edges.join(leaves, "obj_id", "left")
+        .groupBy("subj_id")
+        .agg(F.min(F.coalesce("is_leaf", F.lit(0))).alias("all_children_leaf"))
+        .filter(F.col("all_children_leaf") == 1)
+        .select(F.col("subj_id").alias("canon_id"))
+        .orderBy("canon_id")
+    )
+    return ready
+
+
+@register("kg_duplicate_name_count", oracle=None)
+def kg_duplicate_name_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12/D6 analog: same display name, distinct canonical entities
+    (e.g. the two Mercury senses) — must remain separate."""
+    kg = _kg(spark)
+    return (
+        kg["triples"]
+        .select(F.col("subj").alias("surface"), F.col("subj_id").alias("eid"))
+        .union(
+            kg["triples"].select(
+                F.col("obj").alias("surface"), F.col("obj_id").alias("eid")
+            )
+        )
+        .distinct()
+        .groupBy("surface")
+        .agg(F.countDistinct("eid").alias("n_entities"))
+        .filter(F.col("n_entities") > 1)
+        .orderBy("surface")
+    )

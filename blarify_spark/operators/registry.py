@@ -49,6 +49,7 @@ def _load_all() -> None:
     """Import every operator module so its @register calls run."""
     import blarify_spark.operators.dedup  # noqa: F401
     import blarify_spark.operators.kg_queries  # noqa: F401
+    import blarify_spark.operators.multimodal  # noqa: F401
     import blarify_spark.operators.relational  # noqa: F401
     import blarify_spark.operators.similarity  # noqa: F401
     import blarify_spark.operators.textstats  # noqa: F401

@@ -2,7 +2,7 @@
 
 Each query re-expresses a reference pattern (cited per query) over the
 driver's TPC-H-ish testdata. Determinism rules (see registry docstring):
-DECIMAL-cast money math, total ORDER BY tie-breaks, identical aliases.
+integer-cents money math, total ORDER BY tie-breaks, identical aliases.
 """
 
 from __future__ import annotations
@@ -13,8 +13,17 @@ from blarify_spark.operators.registry import register
 from blarify_spark.sources.tables import load_tables
 
 
-def _dec(col, scale: int = 2):  # noqa: ANN001
-    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+def _cents(col, scale: int = 100):  # noqa: ANN001
+    """Exact integer money math: FLOOR(x*scale + 0.5) is bit-identical
+    IEEE in Spark and DuckDB, and BIGINT sums are associative — immune to
+    partition-order float drift (unlike double->decimal casts, whose
+    rounding differs across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * scale + F.lit(0.5)).cast("bigint")
+
+
+def _sum_money(col, scale: int = 100):  # noqa: ANN001
+    return F.sum(_cents(col, scale)).cast("double") / scale
 
 
 # ---------------------------------------------------------------------------
@@ -56,10 +65,10 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+      CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+      CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_disc_price,
+      CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -71,19 +80,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style full-scan aggregate (top-N diagnostics analog,
     blarify project_graph_creator.py:227-237)."""
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= "2000-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            (
-                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
-            ).alias("avg_qty"),
+            _sum_money("l_quantity").alias("sum_qty"),
+            _sum_money("l_extendedprice").alias("sum_base_price"),
+            _sum_money(disc_price).alias("sum_disc_price"),
+            (_sum_money("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -95,9 +100,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
       COUNT(*) AS n_suppliers,
-      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
-      CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
-      CAST(MAX(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      CAST(SUM(CAST(FLOOR((s_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_bal,
+      MIN(s_acctbal) AS min_bal,
+      MAX(s_acctbal) AS max_bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     ORDER BY n_name
@@ -115,9 +120,9 @@ def agg_stats_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"),
-            F.min(_dec("s_acctbal")).cast("double").alias("min_bal"),
-            F.max(_dec("s_acctbal")).cast("double").alias("max_bal"),
+            _sum_money("s_acctbal").alias("total_bal"),
+            F.min("s_acctbal").alias("min_bal"),
+            F.max("s_acctbal").alias("max_bal"),
         )
         .orderBy("n_name")
     )
@@ -150,9 +155,9 @@ def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
       CAST(SUM(CASE WHEN l_linestatus = 'O'
-        THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_o,
+        THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100 AS qty_o,
       CAST(SUM(CASE WHEN l_linestatus = 'F'
-        THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_f
+        THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100 AS qty_f
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -160,11 +165,14 @@ def pivot_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
 
     def _cond(status: str):
-        return F.sum(
-            F.when(F.col("l_linestatus") == status, _dec("l_quantity")).otherwise(
-                F.lit(0).cast("decimal(18,2)")
-            )
-        ).cast("double")
+        return (
+            F.sum(
+                F.when(
+                    F.col("l_linestatus") == status, _cents("l_quantity")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).cast("double")
+            / 100
+        )
 
     return (
         li.groupBy("l_returnflag")
@@ -311,7 +319,7 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o_orderkey,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -325,9 +333,7 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -336,7 +342,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > "1998-03-15")
         .groupBy("o_orderkey")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(_sum_money(disc_price).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -346,7 +352,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     oracle="""
     SELECT n_name,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -363,9 +369,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"]
     )
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["region"]
         .filter(F.col("r_name") == "ASIA")
@@ -380,7 +384,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(_sum_money(disc_price).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -444,9 +448,9 @@ def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
         AS running_total
     FROM orders
     """,
@@ -461,7 +465,9 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100).alias(
+            "running_total"
+        ),
     )
 
 
@@ -617,7 +623,7 @@ def string_id_hash_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_ts, event_type,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      CAST(SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
     FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type
     """,
 )
@@ -633,9 +639,7 @@ def datetime_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
+            _sum_money(F.col("value"), 1_000_000).alias("total_value"),
         )
         .orderBy("hour_ts", "event_type")
     )

@@ -17,7 +17,11 @@ from blarify_spark.sources.tables import load_tables
 
 TOP_K = 10
 NEARDUP_COS = 0.95
-PLANES = 8  # LSH hyperplanes -> 2^8 buckets
+# 2 independent tables of 4 hyperplanes: P(candidate found) =
+# 1-(1-p)^2 per table with p = P(<=1 of 4 sign bits differs) — ~0.99 for
+# near neighbors with hamming-1 multiprobe.
+LSH_TABLES = 2
+PLANES_PER_TABLE = 4
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
@@ -89,65 +93,74 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_a", "vec_b")
     )
 
+def _lsh_table_keys(vec_col) -> F.Column:  # noqa: ANN001
+    """Array of per-table bucket keys 'table:bucket', fully native.
 
-def _lsh_bucket(vec_col) -> F.Column:  # noqa: ANN001
-    """Random-hyperplane LSH bucket id, fully native and deterministic.
-
-    Plane p's component i is +-1 from xxhash64(p, i); bit p of the bucket
-    is sign(dot(v, plane_p)). Deterministic across engines runs (but
-    xxhash-derived, so validated by pytest recall tests, not DuckDB).
+    Plane (t, p)'s component i is +-1 from xxhash64(t, p, i); bit p of
+    table t's bucket is sign(dot(v, plane_tp)). Deterministic across runs
+    (xxhash-derived, so validated by pytest recall tests, not DuckDB).
     """
-    bucket = F.lit(0)
-    for p in range(PLANES):
-        dot_p = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda i, p=None, _p=p: F.when(
-                        F.shiftright(
-                            F.xxhash64(F.lit(_p), i), 1
-                        ).bitwiseAND(F.lit(1))
-                        == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, s: v * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+
+    def _plane_fn(t: int, p: int):
+        return lambda i: F.when(
+            F.shiftright(F.xxhash64(F.lit(t), F.lit(p), i), 1).bitwiseAND(
+                F.lit(1)
+            )
+            == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    keys = []
+    for t in range(LSH_TABLES):
+        bucket = F.lit(0)
+        for p in range(PLANES_PER_TABLE):
+            plane = F.transform(
+                F.sequence(F.lit(0), F.size(vec_col) - 1), _plane_fn(t, p)
+            )
+            dot_p = F.aggregate(
+                F.zip_with(vec_col, plane, lambda v, s: v * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(0)
+        keys.append(F.concat_ws(":", F.lit(t), bucket))
+    return F.array(*keys)
 
 
 @register("ann_lsh_topk", oracle=None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: probe only vectors sharing >= 1 of
-    the query's band buckets (here: hamming-adjacent buckets via 2 probes),
-    then exact cosine re-rank. The 10^12-scale path: the bucket equi-join
-    replaces the full scan. Recall vs ann_cosine_topk pinned by pytest."""
+    """LSH-bucketed approximate top-k: probe only vectors sharing a
+    bucket with the query in one of the hash tables (hamming-1 multiprobe
+    per table), then exact cosine re-rank. The 10^12-scale path: the
+    bucket equi-join replaces the full scan. Recall vs ann_cosine_topk
+    pinned by pytest."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    with_bucket = emb.withColumn("bucket", _lsh_bucket(F.col("embedding")))
-    qrow = with_bucket.filter(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qvec")
+    with_keys = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(_lsh_table_keys(F.col("embedding"))).alias("bucket_key"),
     )
-    # multiprobe: exact bucket or hamming-1 neighbors (xor with one bit)
+    # query probes: own key per table plus every hamming-1 bucket
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"),
+        _lsh_table_keys(F.col("embedding")).alias("qkeys"),
+    )
+    probe_exprs = []
+    for t in range(LSH_TABLES):
+        qbucket = F.split(F.col("qkeys")[t], ":")[1].cast("int")
+        probe_exprs.append(F.col("qkeys")[t])
+        probe_exprs.extend(
+            F.concat_ws(":", F.lit(t), qbucket.bitwiseXOR(F.lit(1 << p)))
+            for p in range(PLANES_PER_TABLE)
+        )
     probes = qrow.select(
-        "qvec",
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << p))
-                    for p in range(PLANES)
-                ],
-            )
-        ).alias("bucket"),
+        "qvec", F.explode(F.array(*probe_exprs)).alias("bucket_key")
     )
     return (
-        with_bucket.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probes), "bucket")
+        with_keys.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "bucket_key")
+        .dropDuplicates(["vec_id"])
         .select(
             "vec_id",
             "label",

@@ -1,0 +1,138 @@
+"""Text-analysis operators over the `documents` table.
+
+The training-data text-quality family (task brief): language-ID, quality
+scoring, token counting, fingerprinting — each as native Catalyst
+expressions with a DuckDB oracle twin. No UDFs: these run inside
+whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blarify_spark.operators.registry import register
+from blarify_spark.sources.tables import load_tables
+
+# Tiny deterministic stopword banks for the n-gram language heuristic.
+STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+STOP_DE = ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf"]
+STOP_FR = ["le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"]
+
+
+def _tokens(col):  # noqa: ANN001
+    return F.filter(F.split(col, " "), lambda t: F.length(t) > 0)
+
+
+def _hits(col, words: list[str]):  # noqa: ANN001
+    return F.size(F.filter(_tokens(col), lambda t: t.isin(*words)))
+
+
+def _sql_hits(expr: str, words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(list_filter(string_split({expr}, ' '), x -> x <> ''),"
+        f" x -> list_contains([{quoted}], x)))"
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+      length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex ('BPE-ish' word piece) token counting."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "n_re_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+      ROUND({_sql_hits('text', STOP_EN)} * 1.0
+        / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1),
+        6) AS stopword_ratio,
+      ROUND(len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0
+        / GREATEST(length(text), 1), 6) AS punct_ratio,
+      CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS len_ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality features (the Gopher-style
+    heuristic family as columns)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    n_tok = F.greatest(F.size(_tokens(F.col("text"))), F.lit(1))
+    return t["documents"].select(
+        "doc_id",
+        F.round(_hits(F.col("text"), STOP_EN) / n_tok, 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.when(F.length("text").between(50, 5000), 1).otherwise(0).alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN {_sql_hits('text', STOP_DE)} > {_sql_hits('text', STOP_EN)}
+         AND {_sql_hits('text', STOP_DE)} > {_sql_hits('text', STOP_FR)} THEN 'de'
+        WHEN {_sql_hits('text', STOP_FR)} > {_sql_hits('text', STOP_EN)}
+         AND {_sql_hits('text', STOP_FR)} >= {_sql_hits('text', STOP_DE)} THEN 'fr'
+        ELSE 'en'
+      END AS pred_lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a deterministic tie policy."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    en = _hits(F.col("text"), STOP_EN)
+    de = _hits(F.col("text"), STOP_DE)
+    fr = _hits(F.col("text"), STOP_FR)
+    pred = (
+        F.when((de > en) & (de > fr), "de")
+        .when((fr > en) & (fr >= de), "fr")
+        .otherwise("en")
+    )
+    return t["documents"].select(
+        "doc_id", "lang", pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+      substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 8)
+        AS short_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (content-equivalence analog,
+    blarify definition_node.py:167-172: regex-normalize then hash)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return t["documents"].select(
+        "doc_id", norm.alias("fingerprint"), F.substring(norm, 1, 8).alias("short_fp")
+    ).orderBy("doc_id")

@@ -1,0 +1,85 @@
+"""Quality gates for engine-hash ops (no DuckDB oracle): MinHash-LSH,
+SimHash, and LSH-bucketed ANN are validated against exact ground truth
+computed inside Spark itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blarify_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from blarify_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
+from tests.conftest import SF_DIR
+
+# sf0.001 keeps the O(n^2)/self-join ground truths cheap.
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    # verified LSH pairs report the same exact jaccard
+    for pair, j in lsh.items():
+        assert pair in exact
+        assert abs(j - exact[pair]) < 1e-9
+    # high-similarity pairs must not be missed by blocking
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    missed = strong - set(lsh)
+    assert not missed, f"LSH missed strong pairs: {missed}"
+
+
+def test_simhash_banding_is_exact_for_hamming_3(spark):
+    """4 bands x 8 bits: any pair with hamming <= 3 leaves >= 1 band
+    untouched (pigeonhole), so banding must find EXACTLY the brute-force
+    hamming<=3 pairs."""
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_simhash(spark, SF_DIR).collect()
+    }
+    # brute force over all pairs (sf0.001 is small)
+    from blarify_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    from blarify_spark.operators import dedup as D
+
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+
+    def _vote_fn(j: int):
+        return lambda acc, tok: acc + F.when(
+            F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for j in range(D.SIMHASH_BITS):
+        vote = F.aggregate(toks, F.lit(0), _vote_fn(j))
+        sim = sim + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
+    hashes = docs.select("doc_id", sim.alias("h"))
+    a = hashes.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    brute = [r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR).collect()]
+    approx = [r["vec_id"] for r in ann_lsh_topk(spark, SF_DIR).collect()]
+    assert brute  # baseline returns results
+    overlap = len(set(brute) & set(approx))
+    # multiprobe LSH at this tiny dim/scale: expect meaningful recall
+    assert overlap >= 3, f"recall too low: {overlap}/10 ({approx} vs {brute})"
