@@ -31,9 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from blarify_spark import corpus
     from blarify_spark.plans.extract import (
-        extract_text_stage,
-        mentions_stage,
-        triples_stage,
+        extract_all_stage,
+        mentions_from,
+        triples_from,
     )
     from blarify_spark.plans.linking import link_mentions, link_triples
     from blarify_spark.sources.alias import alias_dict
@@ -55,9 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
     fixture = pages_from_rows(spark, corpus.generate_pages(64))
     pages = fixture.unionByName(doc_pages)
 
-    extracted = extract_text_stage(pages)
-    linked = link_mentions(mentions_stage(extracted), alias_dict(spark))
-    return link_triples(triples_stage(extracted), linked)
+    extracted = extract_all_stage(pages).persist()
+    linked = link_mentions(mentions_from(extracted), alias_dict(spark))
+    return link_triples(triples_from(extracted), linked)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,6 +45,26 @@ MENTION_STRUCT = T.StructType(
     ]
 )
 
+# Enriched mention (single-pass path): context tokens + embedding computed
+# in the same Python crossing, so the linking stage is pure JVM.
+MENTION_FULL_STRUCT = T.StructType(
+    MENTION_STRUCT.fields
+    + [
+        T.StructField("m_tokens", T.ArrayType(T.StringType()), False),
+        T.StructField("m_embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+# One-crossing page extraction result (SURVEY.md E1-E3 in a single Arrow
+# UDF): html bytes enter Python exactly once per page.
+PAGE_EXTRACT_STRUCT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), False),
+        T.StructField("mentions", T.ArrayType(MENTION_FULL_STRUCT), False),
+        T.StructField("triples", T.ArrayType(TRIPLE_STRUCT), False),
+    ]
+)
+
 
 # ---------------------------------------------------------------------------
 # UDF 1: HTML -> text (the byte-identical invariant)
@@ -100,6 +120,59 @@ def _mentions_of(text: str | None) -> list[tuple]:
 @F.pandas_udf(T.ArrayType(MENTION_STRUCT))
 def extract_mentions_udf(text: pd.Series) -> pd.Series:
     return text.map(_mentions_of)
+
+
+# ---------------------------------------------------------------------------
+# UDF 1+2+3 fused: html -> (text, mentions+embeddings, triples) in ONE
+# Python crossing — the hot-path production UDF. The separate UDFs above
+# remain the parity/compat surface; this one is what run_pipeline uses.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = None
+
+
+def _ctx_tokens(ctx: str) -> list[str]:
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+    return [t.lower() for t in _TOKEN_RE.findall(ctx)]
+
+
+def _extract_all_of(row: tuple) -> tuple:
+    from blarify_spark.corpus import pseudo_embedding
+
+    html, pretext = row
+    text = pretext if pretext else extract_text_bytes(html)
+    mentions = []
+    for m in extract_mentions(text):
+        toks = _ctx_tokens(m["ctx"])
+        mentions.append(
+            (
+                m["surface"],
+                m["start"],
+                m["end"],
+                m["sentence_idx"],
+                m["ctx"],
+                toks,
+                pseudo_embedding(toks),
+            )
+        )
+    triples = [
+        (t["subj"], t["pred"], t["obj"], t["start"], t["end"], t["sentence_idx"])
+        for t in extract_triples(text)
+    ]
+    return (text, mentions, triples)
+
+
+@F.pandas_udf(PAGE_EXTRACT_STRUCT)
+def _extract_all_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    out = [_extract_all_of(row) for row in zip(html, text)]
+    return pd.DataFrame(out, columns=["text", "mentions", "triples"])
+
+
+extract_all_udf = _extract_all_udf.asNondeterministic()  # single-eval barrier
 
 
 # ---------------------------------------------------------------------------

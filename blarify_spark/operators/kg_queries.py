@@ -26,20 +26,20 @@ def _kg(spark: SparkSession) -> dict[str, DataFrame]:
         from blarify_spark import corpus
         from blarify_spark.plans.canonicalize import canonicalize
         from blarify_spark.plans.extract import (
-            extract_text_stage,
-            mentions_stage,
-            triples_stage,
+            extract_all_stage,
+            mentions_from,
+            triples_from,
         )
         from blarify_spark.plans.linking import link_mentions, link_triples
         from blarify_spark.sources.alias import alias_dict
         from blarify_spark.sources.pages import pages_from_rows
 
-        pages = extract_text_stage(
+        pages = extract_all_stage(
             pages_from_rows(spark, corpus.generate_pages(64))
         ).cache()
-        mentions = mentions_stage(pages)
+        mentions = mentions_from(pages)
         linked = link_mentions(mentions, alias_dict(spark)).cache()
-        ltriples = link_triples(triples_stage(pages), linked).cache()
+        ltriples = link_triples(triples_from(pages), linked).cache()
         nodes, edges, mapping = canonicalize(ltriples)
         _CACHE[key] = {
             "pages": pages,

@@ -18,10 +18,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from blarify_spark.functions.udfs import (
+    extract_all_udf,
     extract_mentions_udf,
     extract_text_udf,
     extract_triples_udf,
 )
+
+
+def extract_all_stage(pages: DataFrame) -> DataFrame:
+    """Single-crossing extraction: html enters Python exactly ONCE per
+    page, emitting text + enriched mentions (tokens, embedding) + triples
+    as one struct. The downstream explodes and the whole linking stage are
+    pure JVM — this is the hot-path plan (the split stages below remain as
+    the parity/compat surface).
+
+    Output: pages columns + text, extract_status, mentions, triples.
+    """
+    ex = extract_all_udf(F.col("html"), F.col("text"))
+    out = pages.withColumn("_ex", ex).select(
+        "url",
+        "warc_ts",
+        "lang",
+        *(["family"] if "family" in pages.columns else []),
+        F.col("_ex.text").alias("text"),
+        F.col("_ex.mentions").alias("mentions"),
+        F.col("_ex.triples").alias("triples"),
+        F.when(
+            F.col("html").isNotNull() & (F.length("_ex.text") == 0), F.lit("raw")
+        )
+        .otherwise(F.lit("ok"))
+        .alias("extract_status"),
+    )
+    return out
+
+
+def triples_from(all_df: DataFrame) -> DataFrame:
+    """Explode the fused extraction's triple arrays (JVM-only)."""
+    return all_df.select(
+        "url", "warc_ts", "lang", F.explode("triples").alias("t")
+    ).select("url", "warc_ts", "lang", "t.*")
+
+
+def mentions_from(all_df: DataFrame) -> DataFrame:
+    """Explode the fused extraction's mention arrays (JVM-only), with the
+    same deterministic md5 mention ids as mentions_stage."""
+    return (
+        all_df.select("url", "lang", F.explode("mentions").alias("m"))
+        .select("url", "lang", "m.*")
+        .withColumn(
+            "mention_id",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.col("url"), F.col("span_start"), F.col("span_end")
+                )
+            ),
+        )
+    )
 
 
 def extract_text_stage(pages: DataFrame) -> DataFrame:

@@ -50,12 +50,15 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     analog of blarify keeping unresolved references as plain USES edges
     rather than dropping them (tree_sitter_helper.py:50-63 default case).
     """
-    m = mentions.withColumn("surface_key", F.lower(F.col("surface"))).withColumn(
-        "m_tokens", _tokenize_ctx(F.col("ctx"))
-    )
-    # One Arrow UDF eval per mention (not per candidate pair): compute the
-    # mention embedding before the 1:N candidate join.
-    m = m.withColumn("m_embedding", ctx_embedding_udf(F.col("m_tokens")))
+    m = mentions.withColumn("surface_key", F.lower(F.col("surface")))
+    if "m_tokens" not in mentions.columns:
+        m = m.withColumn("m_tokens", _tokenize_ctx(F.col("ctx")))
+    if "m_embedding" not in mentions.columns:
+        # One Arrow UDF eval per mention (not per candidate pair): compute
+        # the mention embedding before the 1:N candidate join. The fused
+        # extract_all_stage path arrives with this precomputed — then this
+        # whole stage is JVM-only.
+        m = m.withColumn("m_embedding", ctx_embedding_udf(F.col("m_tokens")))
 
     cand = m.join(
         F.broadcast(alias_df), m.surface_key == alias_df["alias"], "left"

@@ -157,19 +157,21 @@ def run_pipeline(
     """
     from blarify_spark.plans.canonicalize import canonicalize
     from blarify_spark.plans.extract import (
-        extract_text_stage,
-        mentions_stage,
-        triples_stage,
+        extract_all_stage,
+        mentions_from,
+        triples_from,
     )
     from blarify_spark.plans.linking import link_mentions, link_triples
     from blarify_spark.sources.alias import alias_dict
 
+    # Fused extraction: html crosses into Python exactly once per page;
+    # every later stage is JVM-only reads of this stage's output.
     extracted = materialize_stage(
         spark,
         out_dir,
         run_id,
         "extract",
-        lambda: extract_text_stage(pages).withColumn(
+        lambda: extract_all_stage(pages).withColumn(
             "warc_date", F.to_date("warc_ts")
         ),
         partition_cols=["lang"],
@@ -181,7 +183,7 @@ def run_pipeline(
         out_dir,
         run_id,
         "triples",
-        lambda: triples_stage(extracted),
+        lambda: triples_from(extracted),
         resume=resume,
     )
 
@@ -191,7 +193,7 @@ def run_pipeline(
         run_id,
         "linked",
         lambda: link_triples(
-            triples, link_mentions(mentions_stage(extracted), alias_dict(spark))
+            triples, link_mentions(mentions_from(extracted), alias_dict(spark))
         ),
         resume=resume,
     )
