@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "12000"))
+# page weight: fact sentences per page; benchmarks use heavier pages that
+# approximate real web-page text volume (fixture default is 2-5)
+KG_FACTS_LO = int(os.environ.get("SPARK_GRAFT_KG_FACTS_LO", "2"))
+KG_FACTS_HI = int(os.environ.get("SPARK_GRAFT_KG_FACTS_HI", "5"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -86,7 +90,7 @@ def main() -> None:
     from blarify_spark.sources.alias import alias_dict
     from blarify_spark.sources.pages import pages_from_rows
 
-    rows = corpus.generate_pages(KG_PAGES)
+    rows = corpus.generate_pages(KG_PAGES, facts_range=(KG_FACTS_LO, KG_FACTS_HI))
     pages = pages_from_rows(spark, rows).repartition(CPUS * 2).cache()
     pages.count()  # materialize input out of the timed region
 
@@ -110,6 +114,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 "kg_pages": KG_PAGES,
+                "kg_facts": [KG_FACTS_LO, KG_FACTS_HI],
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
             }

@@ -213,7 +213,11 @@ def _page(
     }
 
 
-def generate_pages(n_pages: int = 64, seed: int = SEED) -> list[dict[str, Any]]:
+def generate_pages(
+    n_pages: int = 64,
+    seed: int = SEED,
+    facts_range: tuple[int, int] = (2, 5),
+) -> list[dict[str, Any]]:
     """Generate the full fixture corpus. Deterministic in (n_pages, seed).
 
     Family mix: ~70% simple, and fixed-size duplicate_entities /
@@ -297,9 +301,11 @@ def generate_pages(n_pages: int = 64, seed: int = SEED) -> list[dict[str, Any]]:
         )
         k += 1
 
-    # -- simple: fill the remainder with 2-5 known fact sentences ----------
+    # -- simple: fill the remainder with known fact sentences --------------
+    # facts_range scales page weight: (2,5) for unit fixtures, larger
+    # (e.g. (48,96)) for benchmarks approximating real web-page text size.
     while len(pages) < n_pages:
-        n_facts = rng.randint(2, 5)
+        n_facts = rng.randint(*facts_range)
         facts = [rng.choice(_FACTS) for _ in range(n_facts)]
         paragraphs = [[_fact_sentence(f)] for f in facts]
         paragraphs.append([rng.choice(_NOISE_SENTENCES)])

