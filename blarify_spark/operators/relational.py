@@ -731,3 +731,80 @@ def corpus_stats_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_chars"), F.asc("source"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries + nested aggregation (Q15 readiness / hierarchy-assembly analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "correlated_above_nation_avg",
+    oracle="""
+    WITH nat_avg AS (
+      SELECT c_nationkey,
+        CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+          / 100 / COUNT(*) AS avg_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_custkey, c_nationkey
+    FROM customer JOIN nat_avg USING (c_nationkey)
+    WHERE c_acctbal > avg_bal
+    ORDER BY c_custkey
+    """,
+)
+def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern, decorrelated to an agg+join (how
+    Catalyst rewrites it anyway); exact cents-average both engines."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    c = t["customer"]
+    nat_avg = c.groupBy("c_nationkey").agg(
+        (_sum_money("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.join(nat_avg, "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "skeleton_region_nations",
+    oracle="""
+    SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def skeleton_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy-skeleton assembly (blarify queries.py:18-46: COLLECT of
+    children per parent) — sorted array so both engines hash equal."""
+    t = load_tables(spark, sf_dir, ["region", "nation"])
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "median_order_value_by_status",
+    oracle="""
+    SELECT o_orderstatus, ROUND(MEDIAN(o_totalprice), 4) AS median_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def median_order_value_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.median("o_totalprice"), 4).alias("median_price"))
+        .orderBy("o_orderstatus")
+    )
