@@ -28,6 +28,9 @@ KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "12000"))
 # approximate real web-page text volume (fixture default is 2-5)
 KG_FACTS_LO = int(os.environ.get("SPARK_GRAFT_KG_FACTS_LO", "2"))
 KG_FACTS_HI = int(os.environ.get("SPARK_GRAFT_KG_FACTS_HI", "5"))
+# long-tail synthetic entity pool size (0 = fixture bank only); gives
+# canonicalization real merge work at bench scale
+KG_SYNTH = int(os.environ.get("SPARK_GRAFT_KG_SYNTH", "2000"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -90,7 +93,9 @@ def main() -> None:
     from blarify_spark.sources.alias import alias_dict
     from blarify_spark.sources.pages import pages_from_rows
 
-    rows = corpus.generate_pages(KG_PAGES, facts_range=(KG_FACTS_LO, KG_FACTS_HI))
+    rows = corpus.generate_pages(
+        KG_PAGES, facts_range=(KG_FACTS_LO, KG_FACTS_HI), synth_entities=KG_SYNTH
+    )
     pages = pages_from_rows(spark, rows).repartition(CPUS * 2).cache()
     pages.count()  # materialize input out of the timed region
 
@@ -98,11 +103,22 @@ def main() -> None:
     extracted = extract_all_stage(pages).persist()
     linked = link_mentions(mentions_from(extracted), alias_dict(spark))
     triples = link_triples(triples_from(extracted), linked)
+    triples = triples.persist()
     n_triples = triples.count()
     kg_sec = time.perf_counter() - t0
-    extracted.unpersist()
     timings["kg_pipeline"] = round(kg_sec, 3)
 
+    # canonicalization stage (MinHash-LSH blocking + connected components)
+    from blarify_spark.plans.canonicalize import canonicalize
+
+    t0 = time.perf_counter()
+    nodes, edges, _ = canonicalize(triples)
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    canon_sec = time.perf_counter() - t0
+    timings["kg_canonicalize"] = round(canon_sec, 3)
+    extracted.unpersist()
+    triples.unpersist()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -116,6 +132,8 @@ def main() -> None:
                 "kg_pages": KG_PAGES,
                 "kg_facts": [KG_FACTS_LO, KG_FACTS_HI],
                 "kg_triples": n_triples,
+                "kg_nodes": n_nodes,
+                "kg_edges": n_edges,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
             }
         )

@@ -213,10 +213,65 @@ def _page(
     }
 
 
+def synth_fact_pool(n_entities: int, seed: int = SEED) -> list[tuple[str, str, str]]:
+    """Long-tail synthetic facts over `n_entities` generated entities.
+
+    Models the real web's unbounded entity tail (the fixture bank has 18
+    entities; a crawl has millions): deterministic names, a few
+    near-duplicate spellings (suffix variants) so canonicalization has
+    real merge work, and head/tail predicate mix.
+    """
+    rng = random.Random(seed + 7)
+    preds = ["acquired", "was founded by", "is located in", "relates to", "leads"]
+    cities = ["Springdale", "Rivertown", "Lakeside", "Hillview", "Staraya"]
+    # Combinatorial word-pair names: distinct entities share at most one
+    # word, keeping cross-entity shingle Jaccard well below the merge
+    # threshold (a "VendorN Systems" scheme makes every pair a spurious
+    # near-duplicate and collapses the graph — realistic webs don't).
+    adjectives = [
+        "Quantum", "Crimson", "Solar", "Nordic", "Atlas", "Vertex", "Ember",
+        "Harbor", "Summit", "Orion", "Delta", "Cobalt", "Aurora", "Falcon",
+        "Granite", "Meridian", "Pioneer", "Sterling", "Titan", "Vantage",
+        "Willow", "Zephyr", "Beacon", "Cascade", "Drift", "Equinox", "Flint",
+        "Glacier", "Horizon", "Ivory", "Juniper", "Keystone", "Lattice",
+        "Monarch", "Nebula", "Obsidian", "Pinnacle", "Quartz", "Radiant",
+        "Sable", "Tundra", "Umber", "Vortex", "Wharf", "Xenon", "Yonder",
+        "Zenith", "Argent", "Basalt", "Cinder",
+    ]
+    nouns = [
+        "Dynamics", "Logistics", "Holdings", "Analytics", "Robotics",
+        "Materials", "Networks", "Foundry", "Biotech", "Capital", "Energy",
+        "Optics", "Shipping", "Textiles", "Software", "Minerals", "Farms",
+        "Studios", "Aviation", "Marine", "Railways", "Breweries", "Press",
+        "Motors", "Ceramics", "Microsystems", "Instruments", "Labs",
+        "Partners", "Industries", "Works", "Group", "Collective", "Union",
+        "Consortium", "Syndicate", "Alliance", "Cooperative", "Exchange",
+        "Trust",
+    ]
+    max_unique = len(adjectives) * len(nouns)
+    facts: list[tuple[str, str, str]] = []
+    for i in range(min(n_entities, max_unique)):
+        name = f"{adjectives[i % len(adjectives)]} {nouns[i // len(adjectives) % len(nouns)]}"
+        # ~10% get a suffix-variant alias page ("<name> Inc") that
+        # canonicalization must merge back
+        subj = name if i % 10 else f"{name} Inc"
+        pred = preds[i % len(preds)]
+        if pred == "is located in":
+            obj = cities[i % len(cities)]
+        elif pred == "was founded by":
+            obj = f"{adjectives[rng.randrange(len(adjectives))]} Smith"
+        else:
+            j = rng.randrange(min(n_entities, max_unique))
+            obj = f"{adjectives[j % len(adjectives)]} {nouns[j // len(adjectives) % len(nouns)]}"
+        facts.append((subj, pred, obj))
+    return facts
+
+
 def generate_pages(
     n_pages: int = 64,
     seed: int = SEED,
     facts_range: tuple[int, int] = (2, 5),
+    synth_entities: int = 0,
 ) -> list[dict[str, Any]]:
     """Generate the full fixture corpus. Deterministic in (n_pages, seed).
 
@@ -304,9 +359,15 @@ def generate_pages(
     # -- simple: fill the remainder with known fact sentences --------------
     # facts_range scales page weight: (2,5) for unit fixtures, larger
     # (e.g. (48,96)) for benchmarks approximating real web-page text size.
+    # synth_entities > 0 mixes in a long-tail fact pool so entity counts
+    # grow with the corpus (canonicalization stress; default off so the
+    # fixture corpus stays byte-stable).
+    fact_pool = list(_FACTS)
+    if synth_entities > 0:
+        fact_pool += synth_fact_pool(synth_entities, seed)
     while len(pages) < n_pages:
         n_facts = rng.randint(*facts_range)
-        facts = [rng.choice(_FACTS) for _ in range(n_facts)]
+        facts = [rng.choice(fact_pool) for _ in range(n_facts)]
         paragraphs = [[_fact_sentence(f)] for f in facts]
         paragraphs.append([rng.choice(_NOISE_SENTENCES)])
         pages.append(

@@ -290,3 +290,23 @@ def kg_duplicate_name_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_entities") > 1)
         .orderBy("surface")
     )
+
+
+@register("kg_incremental_classify", oracle=None)
+def kg_incremental_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff classification counts (blarify incremental-update
+    analog, project_graph_diff_creator.py:131-179): ADDED/MODIFIED/
+    DELETED/UNCHANGED between the fixture corpus and its second snapshot."""
+    from blarify_spark import corpus
+    from blarify_spark.plans.diff import classify_pages
+    from blarify_spark.sources.pages import pages_from_rows
+
+    rows = corpus.generate_pages(64)
+    v1 = pages_from_rows(spark, rows)
+    v2 = pages_from_rows(spark, corpus.generate_incremental_snapshot(rows))
+    return (
+        classify_pages(v1, v2)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )

@@ -808,3 +808,65 @@ def median_order_value_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.median("o_totalprice"), 4).alias("median_price"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+      CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM sessions GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch form of
+    session windows (SURVEY.md §2.6 streaming row: the engine is batch;
+    this is the equivalent computation over the events table)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max(F.col("ts").cast("timestamp").cast("long"))
+                - F.min(F.col("ts").cast("timestamp").cast("long"))
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

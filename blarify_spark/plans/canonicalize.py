@@ -41,6 +41,12 @@ BANDS = 8
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.55
 ROUNDS_MAX = 20
+# LSH hygiene: a band bucket holding more than this many nodes is
+# non-discriminative (stopword-like shingle pattern) and would produce a
+# quadratic pair blowup; standard practice is to drop it — any truly
+# similar pair inside also collides in a smaller bucket of another band
+# with high probability.
+MAX_BUCKET = 256
 
 # Corporate/organizational suffix tokens ignored for name similarity.
 _SUFFIXES = ["inc", "corp", "corporation", "ltd", "llc", "co", "company", "gmbh"]
@@ -142,6 +148,16 @@ def candidate_pairs(nodes: DataFrame) -> DataFrame:
         ).alias("band_key"),
     )
 
+    # drop oversized (non-discriminative) buckets before the self-join
+    bucket_sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    bands = bands.join(
+        bucket_sizes.filter(F.col("_bn") <= MAX_BUCKET).select("band_key"),
+        "band_key",
+        "left_semi",
+    )
+
     left = bands.select(
         F.col("band_key"),
         F.col("node_id").alias("src"),
@@ -181,37 +197,63 @@ def connected_components(
     sym = pairs.select("src", "dst").union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.select(
+    # Iterate ONLY over pair-connected nodes: near-duplicate clusters are
+    # a tiny fraction of a web corpus, so every loop job runs on the
+    # small connected subset; singletons get identity labels via one
+    # final left join.
+    connected = sym.select(F.col("src").alias("node_id")).distinct()
+    labels = connected.select(
         F.col("node_id"), F.col("node_id").alias("canon_id")
     ).localCheckpoint(eager=True)
 
+    prev_sig = None
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node_id)
             .groupBy("src")
             .agg(F.min("canon_id").alias("nbr_min"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node_id == neighbor_min.src, "left"
+        ).select(
+            "node_id",
+            F.least(
+                F.col("canon_id"), F.coalesce("nbr_min", F.col("canon_id"))
+            ).alias("canon_id"),
+        )
+        # pointer jumping (path halving): canon := canon(canon) turns the
+        # O(diameter) propagation into O(log n) rounds — long merge chains
+        # (e.g. A~B~C~...~Z suffix-variant runs) converge in a few rounds
+        # instead of ROUNDS_MAX.
+        jump = stepped.select(
+            F.col("node_id").alias("j_node"), F.col("canon_id").alias("j_canon")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node_id == neighbor_min.src, "left")
+            stepped.alias("s")
+            .join(jump, F.col("s.canon_id") == F.col("j_node"), "left")
             .select(
                 "node_id",
-                F.least(
-                    F.col("canon_id"), F.coalesce("nbr_min", F.col("canon_id"))
-                ).alias("canon_id"),
+                F.coalesce("j_canon", F.col("s.canon_id")).alias("canon_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.canon_id") != F.col("o.canon_id"))
-            .limit(1)
-            .count()
-        )
+        # convergence check: order-independent signature of the labeling
+        # (one narrow aggregate — no join) compared across rounds
+        sig = new_labels.agg(
+            F.sum(F.xxhash64("node_id", "canon_id")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # singletons (never in any pair) map to themselves
+    return nodes.select("node_id").join(
+        labels.select(F.col("node_id").alias("n2"), "canon_id"),
+        F.col("node_id") == F.col("n2"),
+        "left",
+    ).select(
+        "node_id", F.coalesce("canon_id", F.col("node_id")).alias("canon_id")
+    )
 
 
 def canonicalize(
