@@ -310,3 +310,66 @@ def kg_incremental_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change")
     )
+
+
+@register("kg_pagerank", oracle=None)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the canonical entity graph (10 fixed iterations,
+    d=0.85) — the iterative-dataflow pattern of SURVEY.md §2.6 (driver
+    loop over DataFrames with localCheckpoint), deterministic by
+    construction. Top-10 entities by rank."""
+    kg = _kg(spark)
+    edges = kg["edges"].select("subj_id", "obj_id").distinct().cache()
+    nodes = kg["nodes"].select(F.col("canon_id").alias("node")).cache()
+    n_nodes = nodes.count()
+
+    out_deg = edges.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(10):
+        contribs = (
+            edges.join(ranks, edges.subj_id == ranks.node)
+            .join(out_deg, "subj_id")
+            .select(
+                F.col("obj_id").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    top = (
+        ranks.join(kg["nodes"], ranks.node == F.col("canon_id"))
+        .select("name", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("name"))
+        .limit(10)
+    )
+    return top
+
+
+@register("kg_degree_distribution", oracle=None)
+def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the canonical graph (skew diagnostic: the
+    skewed_head fixture family shows up as the heavy tail)."""
+    kg = _kg(spark)
+    deg = (
+        kg["edges"]
+        .select(F.col("subj_id").alias("node"))
+        .unionAll(kg["edges"].select(F.col("obj_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

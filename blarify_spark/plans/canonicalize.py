@@ -194,9 +194,12 @@ def connected_components(
     its neighbors; terminate when no label changes (checked via a cheap
     aggregate) or after max_rounds.
     """
+    # checkpoint the symmetric edge list: every loop round joins against
+    # it, and without materialization the whole MinHash-LSH blocking
+    # lineage would re-execute per round
     sym = pairs.select("src", "dst").union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     # Iterate ONLY over pair-connected nodes: near-duplicate clusters are
     # a tiny fraction of a web corpus, so every loop job runs on the
     # small connected subset; singletons get identity labels via one
@@ -238,9 +241,10 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # convergence check: order-independent signature of the labeling
-        # (one narrow aggregate — no join) compared across rounds
+        # (one narrow aggregate — no join) compared across rounds;
+        # bit_xor never overflows (ANSI mode) and is permutation-invariant
         sig = new_labels.agg(
-            F.sum(F.xxhash64("node_id", "canon_id")).alias("s")
+            F.bit_xor(F.xxhash64("node_id", "canon_id")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
         if sig == prev_sig:
@@ -265,9 +269,12 @@ def canonicalize(
     edges: subj_id/obj_id remapped to canonical ids, self-loops dropped
     mapping: node_id -> canon_id
     """
-    raw_nodes = build_entity_nodes(linked_triples)
+    # raw_nodes feeds blocking AND the final node agg; mapping feeds the
+    # node agg AND both edge-endpoint remaps — persist both so each is
+    # computed once (they are tiny relative to the corpus).
+    raw_nodes = build_entity_nodes(linked_triples).persist()
     pairs = candidate_pairs(raw_nodes)
-    mapping = connected_components(raw_nodes, pairs)
+    mapping = connected_components(raw_nodes, pairs).persist()
 
     nodes = (
         raw_nodes.join(mapping, "node_id")
