@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
         mentions_from,
         triples_from,
     )
-    from blarify_spark.plans.linking import link_mentions, link_triples
+    from blarify_spark.plans.linking import resolve_triples
     from blarify_spark.sources.alias import alias_dict
     from blarify_spark.sources.pages import pages_from_rows
 
@@ -56,8 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = fixture.unionByName(doc_pages)
 
     extracted = extract_all_stage(pages).persist()
-    linked = link_mentions(mentions_from(extracted), alias_dict(spark))
-    return link_triples(triples_from(extracted), linked)
+    return resolve_triples(
+        triples_from(extracted), mentions_from(extracted), alias_dict(spark)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -46,10 +46,16 @@ MENTION_STRUCT = T.StructType(
 )
 
 # Enriched mention (single-pass path): context tokens + embedding computed
-# in the same Python crossing, so the linking stage is pure JVM.
+# in the same Python crossing, so the linking stage is pure JVM. The raw
+# ctx sentence is NOT carried (tokens subsume it for scoring) — it is
+# ~60% of mention bytes and would inflate every downstream persist and
+# shuffle.
 MENTION_FULL_STRUCT = T.StructType(
-    MENTION_STRUCT.fields
-    + [
+    [
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("span_start", T.IntegerType(), False),
+        T.StructField("span_end", T.IntegerType(), False),
+        T.StructField("sentence_idx", T.IntegerType(), False),
         T.StructField("m_tokens", T.ArrayType(T.StringType()), False),
         T.StructField("m_embedding", T.ArrayType(T.FloatType()), False),
     ]
@@ -154,7 +160,6 @@ def _extract_all_of(row: tuple) -> tuple:
                 m["start"],
                 m["end"],
                 m["sentence_idx"],
-                m["ctx"],
                 toks,
                 pseudo_embedding(toks),
             )

@@ -51,36 +51,7 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     analog of blarify keeping unresolved references as plain USES edges
     rather than dropping them (tree_sitter_helper.py:50-63 default case).
     """
-    m = mentions.withColumn("surface_key", F.lower(F.col("surface")))
-    if "m_tokens" not in mentions.columns:
-        m = m.withColumn("m_tokens", _tokenize_ctx(F.col("ctx")))
-    if "m_embedding" not in mentions.columns:
-        # One Arrow UDF eval per mention (not per candidate pair): compute
-        # the mention embedding before the 1:N candidate join. The fused
-        # extract_all_stage path arrives with this precomputed — then this
-        # whole stage is JVM-only.
-        m = m.withColumn("m_embedding", ctx_embedding_udf(F.col("m_tokens")))
-
-    cand = m.join(
-        F.broadcast(alias_df), m.surface_key == alias_df["alias"], "left"
-    )
-
-    overlap = F.size(F.array_intersect(F.col("m_tokens"), F.col("ctx_tokens")))
-    denom = F.greatest(F.size(F.col("ctx_tokens")), F.lit(1))
-    score = (
-        F.lit(W_PRIOR) * F.coalesce(F.col("prior"), F.lit(0.0))
-        + F.lit(W_TOKENS) * (overlap / denom)
-        + F.lit(W_EMBED)
-        * F.greatest(
-            cosine_fixed("m_embedding", "ctx_embedding", EMB_DIM), F.lit(0.0)
-        )
-    )
-    cand = cand.withColumn(
-        "link_score",
-        F.when(F.col("entity_id").isNotNull(), F.round(score, 6)).otherwise(
-            F.lit(None).cast("double")
-        ),
-    )
+    cand = _score_candidates(mentions, alias_df)
 
     # Top-1 per mention via min_by hash aggregation instead of a
     # row_number window: the window needs a full sort-shuffle of every
@@ -130,7 +101,80 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     )
 
 
-def link_triples(triples: DataFrame, linked_mentions: DataFrame) -> DataFrame:
+def _score_candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """Shared scoring plan: broadcast candidate join + codegen score."""
+    m = mentions.withColumn("surface_key", F.lower(F.col("surface")))
+    if "m_tokens" not in mentions.columns:
+        m = m.withColumn("m_tokens", _tokenize_ctx(F.col("ctx")))
+    if "m_embedding" not in mentions.columns:
+        m = m.withColumn("m_embedding", ctx_embedding_udf(F.col("m_tokens")))
+    cand = m.join(
+        F.broadcast(alias_df), m.surface_key == alias_df["alias"], "left"
+    )
+    overlap = F.size(F.array_intersect(F.col("m_tokens"), F.col("ctx_tokens")))
+    denom = F.greatest(F.size(F.col("ctx_tokens")), F.lit(1))
+    score = (
+        F.lit(W_PRIOR) * F.coalesce(F.col("prior"), F.lit(0.0))
+        + F.lit(W_TOKENS) * (overlap / denom)
+        + F.lit(W_EMBED)
+        * F.greatest(
+            cosine_fixed("m_embedding", "ctx_embedding", EMB_DIM), F.lit(0.0)
+        )
+    )
+    return cand.withColumn(
+        "link_score",
+        F.when(F.col("entity_id").isNotNull(), F.round(score, 6)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )
+
+
+def page_entity_links(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """Best entity per (url, surface) in ONE aggregation.
+
+    The hot-path form used by resolve_triples: instead of per-mention
+    top-1 (shuffle 1) followed by per-page groupBy (shuffle 2), aggregate
+    straight to the page level — same deterministic result (min over all
+    candidate rows by (-score, entity_id)), half the shuffle volume.
+    """
+    cand = _score_candidates(mentions, alias_df)
+    payload = F.struct(
+        F.col("surface_key"),
+        F.col("entity_id"),
+        F.col("canonical_name"),
+        F.col("link_score"),
+    )
+    order_key = F.struct(
+        (-F.coalesce(F.col("link_score"), F.lit(-1.0))).alias("neg_score"),
+        F.coalesce(F.col("entity_id"), F.lit("~")).alias("eid"),
+    )
+    best = (
+        cand.groupBy("url", "surface")
+        .agg(F.min_by(payload, order_key).alias("b"))
+        .select("url", "surface", "b.*")
+    )
+    nil_id = F.md5(F.concat(F.lit("nil:"), F.col("surface_key")))
+    linked = F.col("entity_id").isNotNull() & (F.col("link_score") >= MIN_SCORE)
+    return best.select(
+        "url",
+        "surface",
+        F.when(linked, F.col("entity_id")).otherwise(nil_id).alias("entity_id"),
+        F.when(linked, F.col("canonical_name"))
+        .otherwise(F.col("surface"))
+        .alias("canonical_name"),
+        F.coalesce("link_score", F.lit(0.0)).alias("link_score"),
+    )
+
+
+def resolve_triples(
+    triples: DataFrame, mentions: DataFrame, alias_df: DataFrame
+) -> DataFrame:
+    """triples + mentions + dictionary -> entity-resolved triples, using
+    the single-aggregation page_entity_links path (the production plan)."""
+    return link_triples(triples, None, _page_links=page_entity_links(mentions, alias_df))
+
+
+def link_triples(triples: DataFrame, linked_mentions: DataFrame, _page_links: DataFrame | None = None) -> DataFrame:
     """Resolve triple subj/obj surfaces to entity ids via the per-page
     linked mentions (join on url + surface), producing entity-level edges.
 
@@ -140,15 +184,16 @@ def link_triples(triples: DataFrame, linked_mentions: DataFrame) -> DataFrame:
     Self-loops are dropped (relationship_creator.py:22-29 analog).
     """
     # Per (url, surface) pick the best-scored link once — avoids exploding
-    # the join when a surface repeats on a page.
-    page_links = (
-        linked_mentions.groupBy("url", "surface")
-        .agg(
+    # the join when a surface repeats on a page. resolve_triples passes a
+    # precomputed single-aggregation page_entity_links instead.
+    if _page_links is not None:
+        page_links = _page_links
+    else:
+        page_links = linked_mentions.groupBy("url", "surface").agg(
             F.max_by("entity_id", "link_score").alias("entity_id"),
             F.max_by("canonical_name", "link_score").alias("canonical_name"),
             F.max("link_score").alias("link_score"),
         )
-    )
 
     s = page_links.select(
         F.col("url").alias("s_url"),

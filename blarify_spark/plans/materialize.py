@@ -161,7 +161,7 @@ def run_pipeline(
         mentions_from,
         triples_from,
     )
-    from blarify_spark.plans.linking import link_mentions, link_triples
+    from blarify_spark.plans.linking import resolve_triples
     from blarify_spark.sources.alias import alias_dict
 
     # Fused extraction: html crosses into Python exactly once per page;
@@ -192,8 +192,8 @@ def run_pipeline(
         out_dir,
         run_id,
         "linked",
-        lambda: link_triples(
-            triples, link_mentions(mentions_from(extracted), alias_dict(spark))
+        lambda: resolve_triples(
+            triples, mentions_from(extracted), alias_dict(spark)
         ),
         resume=resume,
     )

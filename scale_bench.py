@@ -24,12 +24,12 @@ import sys
 # code quality. 2-vs-8 keeps both arms in the linear region, which is the
 # honest analog of N vs 4N executor groups on a real cluster.
 N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-PAGES = os.environ.get("SPARK_GRAFT_KG_PAGES", "8000")
+PAGES = os.environ.get("SPARK_GRAFT_KG_PAGES", "24000")
 FACTS_LO = os.environ.get("SPARK_GRAFT_KG_FACTS_LO", "48")
 FACTS_HI = os.environ.get("SPARK_GRAFT_KG_FACTS_HI", "96")
 
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
 
 
 def run_once(cpus: int) -> dict:
@@ -40,6 +40,7 @@ def run_once(cpus: int) -> dict:
         SPARK_GRAFT_KG_FACTS_LO=FACTS_LO,
         SPARK_GRAFT_KG_FACTS_HI=FACTS_HI,
         SPARK_GRAFT_BENCH_KG_ONLY="1",
+        SPARK_GRAFT_BENCH_SKIP_CANON="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
