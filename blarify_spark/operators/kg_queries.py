@@ -314,10 +314,10 @@ def kg_incremental_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("kg_pagerank", oracle=None)
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the canonical entity graph (10 fixed iterations,
+    """PageRank over the canonical entity graph (5 fixed iterations,
     d=0.85) — the iterative-dataflow pattern of SURVEY.md §2.6 (driver
-    loop over DataFrames with localCheckpoint), deterministic by
-    construction. Top-10 entities by rank."""
+    loop over DataFrames, lineage cut every other round), deterministic
+    by construction. Top-10 entities by rank."""
     kg = _kg(spark)
     edges = kg["edges"].select("subj_id", "obj_id").distinct().cache()
     nodes = kg["nodes"].select(F.col("canon_id").alias("node")).cache()
@@ -325,7 +325,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_deg = edges.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(10):
+    for it in range(5):
         contribs = (
             edges.join(ranks, edges.subj_id == ranks.node)
             .join(out_deg, "subj_id")
@@ -336,17 +336,15 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15 / n_nodes)
-                    + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15 / n_nodes)
+                + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
+            ).alias("rank"),
         )
+        if it % 2 == 1:  # cut lineage every other round
+            ranks = ranks.localCheckpoint(eager=True)
     top = (
         ranks.join(kg["nodes"], ranks.node == F.col("canon_id"))
         .select("name", F.round("rank", 6).alias("rank"))

@@ -136,3 +136,56 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select(
         "doc_id", norm.alias("fingerprint"), F.substring(norm, 1, 8).alias("short_fp")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map UDF (applyInPandas) demonstration with an exact oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_drawdown",
+    oracle="""
+    SELECT user_id, event_id,
+      MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - value AS drawdown
+    FROM events
+    """,
+)
+def events_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running-max drawdown via applyInPandas (grouped-map UDF,
+    SURVEY.md §2.6 UDF row). Running max is exact (no float
+    reassociation), so the pandas path and the SQL window oracle agree
+    bit-for-bit. In production this slot hosts per-group logic SQL can't
+    express (custom sequential models); here the point is the plumbing:
+    shuffle by group key, Arrow batch per group, schema-stable output.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir, ["events"])
+
+    def _drawdown(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        run_max = pdf["value"].cummax()
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "drawdown": run_max - pdf["value"],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("drawdown", T.DoubleType()),
+        ]
+    )
+    return (
+        t["events"]
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_drawdown, schema=schema)
+    )
