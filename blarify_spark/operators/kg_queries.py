@@ -371,3 +371,44 @@ def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@register("kg_paginated_triples", oracle=None)
+def kg_paginated_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog: batched pagination via row_number window (skip=20,
+    batch_size=20 — blarify queries.py:1293-1303)."""
+    from pyspark.sql import Window
+
+    t = _kg(spark)["triples"]
+    w = Window.orderBy("url", "span_start", "subj")
+    return (
+        t.select("url", "span_start", "subj", "pred", "obj")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
+        .drop("span_start")
+    )
+
+
+@register("kg_child_gather", oracle=None)
+def kg_child_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog: parent -> ordered gathered children (blarify
+    batch_processing_queries.py:199-222): per subject entity, its objects
+    collected in span order."""
+    t = _kg(spark)["triples"]
+    return (
+        t.groupBy("subj_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("url", "span_start", "obj"))
+            ).alias("ordered_children"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+        .select(
+            "subj_id",
+            F.transform(F.col("ordered_children"), lambda c: c["obj"]).alias(
+                "children"
+            ),
+            "n_children",
+        )
+        .orderBy("subj_id")
+    )

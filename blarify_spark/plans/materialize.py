@@ -221,3 +221,43 @@ def run_pipeline(
         resume=resume,
     )
     return {"triples": triples, "nodes": nodes, "edges": edges}
+
+
+# ---------------------------------------------------------------------------
+# Idempotent key-based upsert (MERGE INTO analog)
+# ---------------------------------------------------------------------------
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+) -> DataFrame:
+    """Key-based upsert into a parquet table (Iceberg `MERGE INTO` stand-in).
+
+    Existing rows whose key matches an incoming row are replaced; others
+    are retained — exactly apoc.merge.node semantics
+    (reference: blarify/repositories/graph_db_manager/neo4j_manager.py:128-142)
+    expressed as anti-join + union + atomic overwrite. With Iceberg this
+    whole function is one `MERGE INTO` statement; the caller contract
+    (idempotent re-application) is identical.
+    """
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(
+            new_rows.select(*keys).dropDuplicates(keys), keys, "left_anti"
+        )
+        merged = keep.unionByName(new_rows, allowMissingColumns=True)
+    else:
+        merged = new_rows
+    # stage to a tmp dir then swap — parquet overwrite of a dir being read
+    # is not atomic, the rename is
+    tmp = path + ".__staging__"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return spark.read.parquet(path)

@@ -111,3 +111,21 @@ def test_edges_partitioning_spreads_head_entity(spark, fixture_pages, out_dir):
     )
     assert hooli.count() >= 8
     assert nfiles > 1  # head entity spread across multiple writer outputs
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    from blarify_spark.plans.materialize import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "v"]
+    )
+    upsert_parquet(spark, base, path, ["k"])
+    # update b, insert d
+    delta = spark.createDataFrame([("b", 20), ("d", 4)], ["k", "v"])
+    out = upsert_parquet(spark, delta, path, ["k"])
+    got = dict((r["k"], r["v"]) for r in out.collect())
+    assert got == {"a": 1, "b": 20, "c": 3, "d": 4}
+    # idempotent re-application
+    out2 = upsert_parquet(spark, delta, path, ["k"])
+    assert dict((r["k"], r["v"]) for r in out2.collect()) == got
