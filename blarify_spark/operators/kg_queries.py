@@ -412,3 +412,39 @@ def kg_child_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subj_id")
     )
+
+
+@register("kg_mermaid_subgraph", oracle=None)
+def kg_mermaid_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 analog: 1-hop subgraph of the busiest entity rendered as
+    mermaid edge lines (blarify queries.py:1909-2017) — presentation
+    query; one row per mermaid statement, deterministic order."""
+    kg = _kg(spark)
+    top = (
+        kg["edges"]
+        .groupBy("subj_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("subj_id"))
+        .limit(1)
+        .select(F.col("subj_id").alias("center"))
+    )
+    e = kg["edges"].join(F.broadcast(top), F.col("subj_id") == F.col("center"))
+    lines = (
+        e.select(
+            F.concat(
+                F.substring("subj_id", 1, 8),
+                F.lit("[\""),
+                F.col("subj"),
+                F.lit("\"] -->|"),
+                F.col("pred"),
+                F.lit("| "),
+                F.substring("obj_id", 1, 8),
+                F.lit("[\""),
+                F.col("obj"),
+                F.lit("\"]"),
+            ).alias("mermaid")
+        )
+        .distinct()
+        .orderBy("mermaid")
+    )
+    return lines

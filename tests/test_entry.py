@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry_mod
 
 
@@ -36,3 +38,22 @@ def test_scan_filter_pushdown_reaches_parquet(spark):
     assert "PushedFilters: [" in plan
     assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
     assert "l_comment" not in plan  # column pruning
+
+
+def test_pages_partition_pruning_on_disk(spark, fixture_pages, tmp_path):
+    """Writing pages partitioned by lang and filtering on lang must prune
+    partitions at the source (the Iceberg partition-pruning analog,
+    SURVEY.md S2): the scan's file list contains only lang=de paths."""
+    from blarify_spark.sources.pages import write_pages
+
+    path = str(tmp_path / "pages_part")
+    write_pages(fixture_pages, path)
+    df = spark.read.parquet(path).filter(F.col("lang") == "de")
+    files = [
+        r["f"]
+        for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files
+    assert all("lang=de" in f for f in files)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
