@@ -122,3 +122,26 @@ def test_pipeline_run_twice_identical(spark, fixture_pages):
     n2, e2, _ = canonicalize(lt)
     assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
     assert e1.count() == e2.count()
+
+
+def test_exact_canonical_counts_pinned(spark, fixture_pages):
+    """FIXTURES.md §3 gate: exact node and edge counts after
+    canonicalization on the deterministic 64-page corpus (regression pin —
+    any change to extraction/linking/merging semantics must consciously
+    update these numbers)."""
+    from blarify_spark.plans.extract import (
+        extract_all_stage,
+        mentions_from,
+        triples_from,
+    )
+    from blarify_spark.plans.linking import resolve_triples
+    from blarify_spark.sources.alias import alias_dict
+
+    ext = extract_all_stage(fixture_pages)
+    lt = resolve_triples(
+        triples_from(ext), mentions_from(ext), alias_dict(spark)
+    )
+    nodes, edges, _ = canonicalize(lt)
+    assert lt.count() == 179
+    assert nodes.count() == 38
+    assert edges.count() == 179
