@@ -29,6 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from blarify_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+
     from blarify_spark import corpus
     from blarify_spark.plans.extract import (
         extract_all_stage,

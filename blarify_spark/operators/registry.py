@@ -35,9 +35,26 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _with_shipping(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a query so any external driver's session gets the package
+    shipped to its Python workers before UDFs run."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from blarify_spark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: q.fn for name, q in _REGISTRY.items()}
+    return {name: _with_shipping(q.fn) for name, q in _REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -14,6 +14,44 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make `blarify_spark` importable inside Python workers of ANY
+    session — including one created by an external driver whose JVM
+    started without this repo on PYTHONPATH (workers inherit the JVM's
+    env, so os.environ tweaks after startup don't reach them).
+
+    Ships a zip of the package via addPyFile — the cluster-equivalent of
+    `spark-submit --py-files` (BASELINE.json north_rule), idempotent per
+    session.
+    """
+    sc = spark.sparkContext
+    marker = "_blarify_spark_shipped"
+    if getattr(sc, marker, False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "blarify_spark_pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "blarify_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    setattr(sc, marker, True)
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "blarify_spark",
