@@ -29,7 +29,7 @@ FACTS_LO = os.environ.get("SPARK_GRAFT_KG_FACTS_LO", "48")
 FACTS_HI = os.environ.get("SPARK_GRAFT_KG_FACTS_HI", "96")
 
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
 
 def run_once(cpus: int) -> dict:
