@@ -448,3 +448,87 @@ def kg_mermaid_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mermaid")
     )
     return lines
+
+
+@register("kg_workflow_paths", oracle=None)
+def kg_workflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 full analog (blarify queries.py:926-1053): bounded DFS path
+    enumeration from entry-point entities with longest-common-prefix
+    suffix emission.
+
+    Paths accumulate as name arrays through <=5 frontier joins (cycle-safe
+    via array_contains check); final trace sorts paths lexicographically
+    and, like blarify's client-side LCP dedup, emits for each path only
+    the suffix not shared with its predecessor (lag window).
+    """
+    kg = _kg(spark)
+    edges = kg["edges"].select("subj_id", "obj_id").distinct()
+    names = kg["nodes"].select("canon_id", "name")
+
+    roots = (
+        kg["nodes"]
+        .join(
+            kg["edges"].select(F.col("obj_id").alias("canon_id")),
+            "canon_id",
+            "left_anti",
+        )
+        .select(
+            F.col("canon_id").alias("node"), F.array("name").alias("path")
+        )
+    )
+    complete = roots.filter(F.lit(False))  # empty, same schema
+    frontier = roots
+    for i in range(5):
+        # per-iteration unique column names avoid self-join ambiguity
+        # (frontier.node descends from the previous round's edge columns)
+        e_i = edges.select(
+            F.col("subj_id").alias(f"src_{i}"), F.col("obj_id").alias(f"dst_{i}")
+        )
+        n_i = names.select(
+            F.col("canon_id").alias(f"nid_{i}"), F.col("name").alias(f"nm_{i}")
+        )
+        step = (
+            frontier.join(e_i, frontier.node == F.col(f"src_{i}"))
+            .join(n_i, F.col(f"dst_{i}") == F.col(f"nid_{i}"))
+            .filter(~F.array_contains(F.col("path"), F.col(f"nm_{i}")))
+            .select(
+                F.col(f"dst_{i}").alias("node"),
+                F.concat(F.col("path"), F.array(f"nm_{i}")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # paths that could not extend are complete
+        ended = frontier.join(
+            edges.select(F.col("subj_id").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        complete = complete.unionByName(ended)
+        frontier = step
+        if frontier.isEmpty():
+            break
+    complete = complete.unionByName(frontier)
+
+    w = W.orderBy(F.col("path_str"))
+    traced = (
+        complete.select(F.array_join("path", " > ").alias("path_str"))
+        .distinct()
+        .withColumn("prev", F.lag("path_str").over(w))
+    )
+    # LCP suffix: longest shared '> '-prefix with the previous path
+    both = F.split(F.col("path_str"), " > ")
+    prev = F.split(F.coalesce(F.col("prev"), F.lit("")), " > ")
+    lcp = F.aggregate(
+        F.sequence(F.lit(0), F.least(F.size(both), F.size(prev)) - 1),
+        F.lit(0),
+        lambda acc, i: F.when(
+            (acc == i) & (both[i] == prev[i]), acc + 1
+        ).otherwise(acc),
+    )
+    return traced.select(
+        "path_str",
+        lcp.alias("shared_prefix_len"),
+        F.array_join(
+            F.slice(both, lcp + 1, F.size(both) - lcp), " > "
+        ).alias("novel_suffix"),
+    ).orderBy("path_str")
