@@ -395,6 +395,9 @@ def kg_child_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_processing_queries.py:199-222): per subject entity, its objects
     collected in span order."""
     t = _kg(spark)["triples"]
+    # scalar output contract: the driver canonicalizes results with pandas,
+    # which cannot hash list cells — join the ordered child list to one
+    # string column instead of returning array<string>
     return (
         t.groupBy("subj_id")
         .agg(
@@ -405,9 +408,10 @@ def kg_child_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "subj_id",
-            F.transform(F.col("ordered_children"), lambda c: c["obj"]).alias(
-                "children"
-            ),
+            F.array_join(
+                F.transform(F.col("ordered_children"), lambda c: c["obj"]),
+                " | ",
+            ).alias("children"),
             "n_children",
         )
         .orderBy("subj_id")

@@ -152,8 +152,30 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
 
 @register("multimodal_decode_features", oracle=None)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded media features (stubbed codec, real plumbing)."""
-    return decode_media(synth_media(spark)).orderBy("media_id")
+    """Decoded media features (stubbed codec, real plumbing).
+
+    The registered result flattens the array<float> feature to a scalar
+    string column (driver canonicalization sorts values with pandas and
+    cannot hash list cells); the array-typed DataFrame from decode_media
+    remains the programmatic API.
+    """
+    feats = decode_media(synth_media(spark))
+    feature_str = F.array_join(
+        F.transform(
+            F.col("feature"),
+            lambda x: x.cast("decimal(10,6)").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "decode_ok",
+        "width",
+        "height",
+        "n_frames",
+        feature_str.alias("feature_csv"),
+    ).orderBy("media_id")
 
 
 @register("multimodal_kind_stats", oracle=None)
