@@ -384,6 +384,41 @@ def generate_pages(
     return pages
 
 
+def generate_moved_snapshot(
+    pages: list[dict[str, Any]], seed: int = SEED
+) -> list[dict[str, Any]]:
+    """Snapshot with RENAMED urls: two pages move to a mirror host — one
+    content-identical (must classify MOVED), one also edited (must
+    classify MODIFIED with old_url set). The relative-id cross-version
+    identity fixture (blarify utils/relative_id_calculator.py:3-7, used
+    project_graph_diff_creator.py:131-148).
+    """
+    rng = random.Random(seed + 2)
+    simple = [p for p in pages if p["family"] == "simple"]
+    if len(simple) < 5:
+        raise ValueError("need >= 5 simple pages for the moved family")
+    moved_same_url = simple[3]["url"]
+    moved_edit_url = simple[4]["url"]
+
+    def _rehost(url: str) -> str:
+        # keep the relative path, swap scheme+host
+        rel = url.split("/", 3)[3]
+        return f"https://mirror.test/{rel}"
+
+    out: list[dict[str, Any]] = []
+    for p in pages:
+        q = dict(p)
+        if p["url"] == moved_same_url:
+            q["url"] = _rehost(p["url"])
+        elif p["url"] == moved_edit_url:
+            q["url"] = _rehost(p["url"])
+            q["html"] = _render_html(
+                "Relocated notes", [[_fact_sentence(rng.choice(_FACTS))]]
+            )
+        out.append(q)
+    return out
+
+
 def generate_incremental_snapshot(
     pages: list[dict[str, Any]], seed: int = SEED
 ) -> list[dict[str, Any]]:

@@ -110,12 +110,22 @@ def kg_entrypoint_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("kg_khop_reach", oracle=None)
 def kg_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6 analog: bounded k-hop frontier expansion (k=3) from every
-    entry-point entity over relates_to edges, with path length."""
+    """Q6 analog: bounded k-hop frontier expansion (k=3) with path length.
+
+    Roots are the ENTRY-POINT entities only (no incoming edge), exactly
+    like blarify expands from entry points (queries.py:926-1053) — an
+    all-nodes closure would be O(n * avg-reach) and is the canonical
+    100x-scale killer."""
     kg = _kg(spark)
     edges = kg["edges"].select("subj_id", "obj_id").distinct()
-    frontier = kg["nodes"].select(
-        F.col("canon_id").alias("root"), F.col("canon_id").alias("node")
+    frontier = (
+        kg["nodes"]
+        .join(
+            kg["edges"].select(F.col("obj_id").alias("canon_id")),
+            "canon_id",
+            "left_anti",
+        )
+        .select(F.col("canon_id").alias("root"), F.col("canon_id").alias("node"))
     )
     reached = frontier.withColumn("depth", F.lit(0))
     for depth in range(1, 4):
@@ -312,6 +322,32 @@ def kg_incremental_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kg_diff_moved_pages", oracle=None)
+def kg_diff_moved_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 analog (relative-id cross-version identity): pages renamed to a
+    new host classify as MOVED (content-identical) or MODIFIED (edited),
+    both carrying old_url — never as ADDED+DELETED pairs (blarify
+    project_graph_diff_creator.py:131-148 via relative_id)."""
+    from blarify_spark import corpus
+    from blarify_spark.plans.diff import classify_pages
+    from blarify_spark.sources.pages import pages_from_rows
+
+    rows = corpus.generate_pages(64)
+    v1 = pages_from_rows(spark, rows)
+    v2 = pages_from_rows(spark, corpus.generate_moved_snapshot(rows))
+    changes = classify_pages(v1, v2)
+    return (
+        changes.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("old_url").isNotNull(), 1).otherwise(0)).alias(
+                "n_with_old_url"
+            ),
+        )
+        .orderBy("change")
+    )
+
+
 @register("kg_pagerank", oracle=None)
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the canonical entity graph (5 fixed iterations,
@@ -375,17 +411,29 @@ def kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("kg_paginated_triples", oracle=None)
 def kg_paginated_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 analog: batched pagination via row_number window (skip=20,
-    batch_size=20 — blarify queries.py:1293-1303)."""
-    from pyspark.sql import Window
+    """Q8 analog: batched pagination (skip=20, batch_size=20 — blarify
+    queries.py:1293-1303), distributed two-phase form.
 
-    t = _kg(spark)["triples"]
-    w = Window.orderBy("url", "span_start", "subj")
+    A bare Window.orderBy would funnel EVERY row through one task; instead
+    rank within url partitions (parallel), compute per-url offsets with a
+    window over the tiny per-url count table (|urls| rows, not |rows|),
+    and add — identical global ranks, no global row shuffle.
+    """
+    t = _kg(spark)["triples"].select("url", "span_start", "subj", "pred", "obj")
+    wu = W.partitionBy("url").orderBy("span_start", "subj")
+    ranked = t.withColumn("rn_url", F.row_number().over(wu))
+    wo = W.orderBy("url").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(wo), F.lit(0)))
+        .select("url", "off")
+    )
     return (
-        t.select("url", "span_start", "subj", "pred", "obj")
-        .withColumn("rn", F.row_number().over(w))
+        ranked.join(offsets, "url")
+        .withColumn("rn", (F.col("off") + F.col("rn_url")).cast("int"))
         .filter((F.col("rn") > 20) & (F.col("rn") <= 40))
-        .drop("span_start")
+        .select("url", "subj", "pred", "obj", "rn")
     )
 
 
@@ -454,18 +502,22 @@ def kg_mermaid_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines
 
 
-@register("kg_workflow_paths", oracle=None)
-def kg_workflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6 full analog (blarify queries.py:926-1053): bounded DFS path
-    enumeration from entry-point entities with longest-common-prefix
-    suffix emission.
+def _workflow_traces(kg: dict[str, DataFrame]) -> DataFrame:
+    """Q6 shared core (blarify queries.py:926-1053): bounded DFS path
+    enumeration from entry-point entities with per-root longest-common-
+    prefix computation.
 
-    Paths accumulate as name arrays through <=5 frontier joins (cycle-safe
-    via array_contains check); final trace sorts paths lexicographically
-    and, like blarify's client-side LCP dedup, emits for each path only
-    the suffix not shared with its predecessor (lag window).
+    Paths accumulate id AND name arrays through <=5 frontier joins; the
+    cycle guard and the LCP run on canon_ids (blarify's NODE_PATH
+    uniqueness — distinct entities sharing a display name must not block
+    each other), names ride along for rendering only. Every window is
+    partitioned by root (blarify dedups per entry point), so no global
+    single-task sort exists at any scale.
+
+    Returns one row per (root, path): root, root_name, path_str, ids,
+    names, path_rank, lcp (id-level shared prefix with the previous path
+    of the same root).
     """
-    kg = _kg(spark)
     edges = kg["edges"].select("subj_id", "obj_id").distinct()
     names = kg["nodes"].select("canon_id", "name")
 
@@ -477,7 +529,9 @@ def kg_workflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .select(
-            F.col("canon_id").alias("node"), F.array("name").alias("path")
+            F.col("canon_id").alias("node"),
+            F.array("canon_id").alias("ids"),
+            F.array("name").alias("names"),
         )
     )
     complete = roots.filter(F.lit(False))  # empty, same schema
@@ -491,20 +545,24 @@ def kg_workflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_i = names.select(
             F.col("canon_id").alias(f"nid_{i}"), F.col("name").alias(f"nm_{i}")
         )
-        step = (
+        ext = (
             frontier.join(e_i, frontier.node == F.col(f"src_{i}"))
             .join(n_i, F.col(f"dst_{i}") == F.col(f"nid_{i}"))
-            .filter(~F.array_contains(F.col("path"), F.col(f"nm_{i}")))
-            .select(
-                F.col(f"dst_{i}").alias("node"),
-                F.concat(F.col("path"), F.array(f"nm_{i}")).alias("path"),
-            )
+            .filter(~F.array_contains(F.col("ids"), F.col(f"dst_{i}")))
             .localCheckpoint(eager=True)
         )
-        # paths that could not extend are complete
+        step = ext.select(
+            F.col(f"dst_{i}").alias("node"),
+            F.concat(F.col("ids"), F.array(f"dst_{i}")).alias("ids"),
+            F.concat(F.col("names"), F.array(f"nm_{i}")).alias("names"),
+        )
+        # paths that produced NO extension are complete — checked against
+        # the actual extensions, not just head out-degree, so a path whose
+        # every outgoing edge is cycle-blocked still completes (a head-
+        # degree check would silently drop it)
         ended = frontier.join(
-            edges.select(F.col("subj_id").alias("node")).distinct(),
-            "node",
+            ext.select(F.array_join("ids", ">").alias("_k")).distinct(),
+            F.array_join(frontier["ids"], ">") == F.col("_k"),
             "left_anti",
         )
         complete = complete.unionByName(ended)
@@ -513,26 +571,161 @@ def kg_workflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     complete = complete.unionByName(frontier)
 
-    w = W.orderBy(F.col("path_str"))
-    traced = (
-        complete.select(F.array_join("path", " > ").alias("path_str"))
-        .distinct()
-        .withColumn("prev", F.lag("path_str").over(w))
+    paths = (
+        complete.select(
+            F.col("ids")[0].alias("root"),
+            F.element_at("names", 1).alias("root_name"),
+            F.array_join("names", " > ").alias("path_str"),
+            F.array_join("ids", ">").alias("id_path"),
+            "ids",
+            "names",
+        )
+        .dropDuplicates(["id_path"])
     )
-    # LCP suffix: longest shared '> '-prefix with the previous path
-    both = F.split(F.col("path_str"), " > ")
-    prev = F.split(F.coalesce(F.col("prev"), F.lit("")), " > ")
-    lcp = F.aggregate(
-        F.sequence(F.lit(0), F.least(F.size(both), F.size(prev)) - 1),
-        F.lit(0),
-        lambda acc, i: F.when(
-            (acc == i) & (both[i] == prev[i]), acc + 1
-        ).otherwise(acc),
+    w = W.partitionBy("root").orderBy("path_str", "id_path")
+    prev_ids = F.lag("ids").over(w)
+    both = F.col("ids")
+    shared = F.least(F.size(both), F.size(prev_ids))
+    lcp = F.when(prev_ids.isNull() | (shared <= 0), F.lit(0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), shared - 1),
+            F.lit(0),
+            lambda acc, i: F.when(
+                (acc == i) & (both[i] == prev_ids[i]), acc + 1
+            ).otherwise(acc),
+        )
     )
-    return traced.select(
+    return paths.select(
+        "root",
+        "root_name",
         "path_str",
-        lcp.alias("shared_prefix_len"),
+        "ids",
+        "names",
+        F.row_number().over(w).alias("path_rank"),
+        lcp.alias("lcp"),
+    )
+
+
+@register("kg_workflow_paths", oracle=None)
+def kg_workflow_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 full analog (blarify queries.py:926-1053): bounded DFS path
+    enumeration from entry points; per root, paths sort lexicographically
+    and each emits only the suffix not shared (by node id) with its
+    predecessor — blarify's client-side LCP dedup."""
+    traces = _workflow_traces(_kg(spark))
+    names = F.col("names")
+    return traces.select(
+        "root_name",
+        "path_str",
+        F.col("lcp").alias("shared_prefix_len"),
         F.array_join(
-            F.slice(both, lcp + 1, F.size(both) - lcp), " > "
+            F.slice(names, F.col("lcp") + 1, F.size(names) - F.col("lcp")),
+            " > ",
         ).alias("novel_suffix"),
-    ).orderBy("path_str")
+    ).orderBy("root_name", "path_str")
+
+
+@register("kg_workflow_bridges", oracle=None)
+def kg_workflow_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analog (blarify queries.py:1144-1290 _create_bridge_edges):
+    synthesize in-memory bridge edges that connect consecutive DFS paths
+    into one continuous execution trace.
+
+    Stream construction mirrors the reference's execution_nodes: per root,
+    paths in lexicographic order each contribute their LCP-novel suffix
+    nodes with depth = position in path. Then (1) path boundaries are
+    depth decreases (lag window per root); a bridge joins the node before
+    the boundary to the node at it; (2) within each boundary segment,
+    consecutive same-depth nodes are bridged. Bridges that duplicate a
+    real edge or self-loop are dropped, exactly like the reference's
+    edge_map check. Synthesized in-memory only — never written to the
+    edges table (reference: "not stored in the database").
+    """
+    return workflow_bridges(_kg(spark))
+
+
+def workflow_bridges(kg: dict[str, DataFrame]) -> DataFrame:
+    """Q7 bridge synthesis over any {nodes, edges} graph dict (see
+    kg_workflow_bridges docstring for the semantics contract)."""
+    traces = _workflow_traces(kg)
+
+    zipped = F.arrays_zip(F.col("ids").alias("id"), F.col("names").alias("nm"))
+    stream = traces.select(
+        "root",
+        "root_name",
+        "path_rank",
+        "lcp",
+        F.posexplode(
+            F.slice(zipped, F.col("lcp") + 1, F.size("ids") - F.col("lcp"))
+        ).alias("pos", "z"),
+    ).select(
+        "root",
+        "root_name",
+        "path_rank",
+        (F.col("lcp") + F.col("pos")).alias("depth"),
+        F.col("z.id").alias("node_id"),
+        F.col("z.nm").alias("name"),
+    )
+    ws = W.partitionBy("root").orderBy("path_rank", "depth")
+    stream = stream.select(
+        "root",
+        "root_name",
+        "path_rank",
+        "depth",
+        "node_id",
+        "name",
+        F.row_number().over(ws).alias("seq"),
+        F.lag("depth").over(ws).alias("prev_depth"),
+        F.lag("node_id").over(ws).alias("prev_id"),
+        F.lag("name").over(ws).alias("prev_name"),
+    ).withColumn(
+        "segment",
+        F.sum(
+            F.when(F.col("depth") < F.coalesce("prev_depth", F.lit(-1)), 1)
+            .otherwise(0)
+        ).over(ws.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+    # Step 2 analog: consecutive-path bridges at every depth decrease
+    path_bridges = stream.filter(
+        F.col("prev_depth").isNotNull() & (F.col("depth") < F.col("prev_depth"))
+    ).select(
+        "root_name",
+        F.col("prev_id").alias("caller_id"),
+        F.col("prev_name").alias("caller"),
+        F.col("node_id").alias("callee_id"),
+        F.col("name").alias("callee"),
+        F.lit(1).alias("bridge_depth"),  # reference: top-level depth 1
+        F.lit("consecutive_path").alias("bridge_kind"),
+    )
+
+    # Step 3 analog: same-depth neighbors within one boundary segment
+    wd = W.partitionBy("root", "segment", "depth").orderBy("seq")
+    same_depth = (
+        stream.withColumn("d_prev_id", F.lag("node_id").over(wd))
+        .withColumn("d_prev_name", F.lag("name").over(wd))
+        .filter(F.col("d_prev_id").isNotNull())
+        .select(
+            "root_name",
+            F.col("d_prev_id").alias("caller_id"),
+            F.col("d_prev_name").alias("caller"),
+            F.col("node_id").alias("callee_id"),
+            F.col("name").alias("callee"),
+            (F.col("depth") + 1).alias("bridge_depth"),
+            F.lit("same_depth").alias("bridge_kind"),
+        )
+    )
+
+    existing = kg["edges"].select(
+        F.col("subj_id").alias("caller_id"), F.col("obj_id").alias("callee_id")
+    ).distinct()
+    return (
+        path_bridges.unionByName(same_depth)
+        .filter(F.col("caller_id") != F.col("callee_id"))
+        .join(existing, ["caller_id", "callee_id"], "left_anti")
+        .dropDuplicates(["root_name", "caller_id", "callee_id", "bridge_kind"])
+        .select(
+            "root_name", "caller", "callee", "bridge_kind", "bridge_depth"
+        )
+        .orderBy("root_name", "bridge_kind", "caller", "callee")
+    )

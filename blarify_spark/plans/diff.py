@@ -22,28 +22,91 @@ from pyspark.sql import DataFrame, functions as F
 from blarify_spark.plans.extract import extract_text_stage, triples_stage
 
 
-def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
-    """Full-outer join on url -> (url, change) with change in
-    ADDED | DELETED | MODIFIED | UNCHANGED.
+def _content_hash() -> F.Column:
+    """Null-safe content identity: md5(html), falling back to md5(text)
+    for pre-extracted pages with html=NULL (a supported input shape —
+    extract_text_stage handles them), then '' so presence is never
+    conflated with content (md5(NULL) is NULL and would misclassify)."""
+    return F.coalesce(
+        F.md5(F.col("html").cast("binary")), F.md5("text"), F.lit("")
+    )
 
-    Content identity is md5(html) — cheap, no extraction needed (the D3/D4
-    analog: relative-id match + content-equivalence test).
+
+def _relative_id() -> F.Column:
+    """Cross-version identity key: the url path with scheme+host stripped —
+    the web analog of blarify's relative_id (env-prefix-stripped node path,
+    utils/relative_id_calculator.py:3-7): a page moved to a new host keeps
+    its relative id."""
+    return F.regexp_replace("url", r"^[a-z][a-z0-9+.\-]*://[^/]+", "")
+
+
+def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
+    """Full-outer join on url -> (url, change, old_url) with change in
+    ADDED | DELETED | MODIFIED | MOVED | UNCHANGED.
+
+    Presence is tracked with explicit per-side marker columns (never via
+    hash nullability). A second pass matches leftover ADDED x DELETED rows
+    on relative_id (blarify's renamed-path identity,
+    project_graph_diff_creator.py:131-148): content-identical -> MOVED,
+    content-changed -> MODIFIED; both carry old_url (null otherwise).
     """
     o = old_pages.select(
-        F.col("url"), F.md5(F.col("html").cast("binary")).alias("old_hash")
+        F.col("url").alias("o_url"),
+        _content_hash().alias("old_hash"),
+        _relative_id().alias("o_rel"),
+        F.lit(True).alias("in_old"),
     )
     n = new_pages.select(
-        F.col("url"), F.md5(F.col("html").cast("binary")).alias("new_hash")
+        F.col("url").alias("n_url"),
+        _content_hash().alias("new_hash"),
+        _relative_id().alias("n_rel"),
+        F.lit(True).alias("in_new"),
     )
-    joined = o.join(n, "url", "full_outer")
-    return joined.select(
-        "url",
-        F.when(F.col("old_hash").isNull(), F.lit("ADDED"))
-        .when(F.col("new_hash").isNull(), F.lit("DELETED"))
+    base = o.join(n, o.o_url == n.n_url, "full_outer").select(
+        F.coalesce("n_url", "o_url").alias("url"),
+        F.when(F.col("in_old").isNull(), F.lit("ADDED"))
+        .when(F.col("in_new").isNull(), F.lit("DELETED"))
         .when(F.col("old_hash") != F.col("new_hash"), F.lit("MODIFIED"))
         .otherwise(F.lit("UNCHANGED"))
         .alias("change"),
+        "old_hash",
+        "new_hash",
+        "o_rel",
+        "n_rel",
     )
+
+    added = base.filter(F.col("change") == "ADDED").select(
+        "url", F.col("n_rel").alias("rel"), "new_hash"
+    )
+    deleted = base.filter(F.col("change") == "DELETED").select(
+        F.col("url").alias("old_url"), F.col("o_rel").alias("rel"), "old_hash"
+    )
+    # deterministic 1:1: if several deleted urls share a relative id, pick
+    # the min old_url per new url (and vice versa is impossible after this
+    # min_by since each new url yields one row)
+    moved = (
+        added.join(deleted, "rel")
+        .groupBy("url")
+        .agg(
+            F.min_by(
+                F.struct("old_url", "old_hash", "new_hash"), F.col("old_url")
+            ).alias("b")
+        )
+        .select(
+            "url",
+            F.when(F.col("b.new_hash") == F.col("b.old_hash"), F.lit("MOVED"))
+            .otherwise(F.lit("MODIFIED"))
+            .alias("change"),
+            F.col("b.old_url").alias("old_url"),
+        )
+    )
+    consumed = moved.select("url").unionAll(
+        moved.select(F.col("old_url").alias("url"))
+    )
+    others = base.join(consumed, "url", "left_anti").select(
+        "url", "change", F.lit(None).cast("string").alias("old_url")
+    )
+    return others.unionByName(moved)
 
 
 def incremental_triples(
@@ -61,11 +124,20 @@ def incremental_triples(
     """
     changes = classify_pages(old_pages, new_pages)
     affected = changes.filter(
-        F.col("change").isin("ADDED", "MODIFIED")
+        F.col("change").isin("ADDED", "MODIFIED", "MOVED")
     ).select("url")
-    stale_or_gone = changes.filter(
-        F.col("change").isin("MODIFIED", "DELETED")
-    ).select("url")
+    # previous triples to drop: modified/deleted urls PLUS the former url
+    # of any moved page (its triples now carry the new url)
+    stale_or_gone = (
+        changes.filter(F.col("change").isin("MODIFIED", "DELETED"))
+        .select("url")
+        .unionAll(
+            changes.filter(F.col("old_url").isNotNull()).select(
+                F.col("old_url").alias("url")
+            )
+        )
+        .distinct()
+    )
 
     keep = old_triples.join(stale_or_gone, "url", "left_anti")
     recompute_pages = new_pages.join(affected, "url", "left_semi")

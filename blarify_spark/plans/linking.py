@@ -189,10 +189,21 @@ def link_triples(triples: DataFrame, linked_mentions: DataFrame, _page_links: Da
     if _page_links is not None:
         page_links = _page_links
     else:
-        page_links = linked_mentions.groupBy("url", "surface").agg(
-            F.max_by("entity_id", "link_score").alias("entity_id"),
-            F.max_by("canonical_name", "link_score").alias("canonical_name"),
-            F.max("link_score").alias("link_score"),
+        # Same payload+order_key min_by pattern as page_entity_links: one
+        # struct pick with an (neg_score, entity_id) tie-break, so score
+        # ties resolve to ONE consistent row (independent max_by calls
+        # could mix entity_id and canonical_name from different rows).
+        payload = F.struct(
+            F.col("entity_id"), F.col("canonical_name"), F.col("link_score")
+        )
+        order_key = F.struct(
+            (-F.coalesce(F.col("link_score"), F.lit(-1.0))).alias("neg_score"),
+            F.coalesce(F.col("entity_id"), F.lit("~")).alias("eid"),
+        )
+        page_links = (
+            linked_mentions.groupBy("url", "surface")
+            .agg(F.min_by(payload, order_key).alias("b"))
+            .select("url", "surface", "b.*")
         )
 
     s = page_links.select(

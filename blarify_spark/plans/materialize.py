@@ -108,8 +108,13 @@ def materialize_stage(
     If the (run_id, stage) manifest exists, the stage is skipped and its
     output is read back (exactly-once). Otherwise compute -> write ->
     commit manifest.
+
+    Stage data is namespaced by run_id (out_dir/run_id/stage) so two runs
+    over the same out_dir cannot cross-contaminate: a second run_id that
+    crashes mid-write can never corrupt what the first run_id's manifest
+    points at (its data lives in a different directory).
     """
-    path = os.path.join(out_dir, stage)
+    path = os.path.join(out_dir, run_id, stage)
     if resume and stage_committed(out_dir, run_id, stage):
         return spark.read.parquet(path)
 
@@ -251,13 +256,19 @@ def upsert_parquet(
         merged = keep.unionByName(new_rows, allowMissingColumns=True)
     else:
         merged = new_rows
-    # stage to a tmp dir then swap — parquet overwrite of a dir being read
-    # is not atomic, the rename is
-    tmp = path + ".__staging__"
-    merged.write.mode("overwrite").parquet(tmp)
+    # stage to a tmp dir, rename the live table ASIDE, then rename staging
+    # into place — the table path is never absent between two renames (a
+    # crash leaves either the old table or the new one readable; the only
+    # cleanup needed is deleting a stray .__old__ dir), unlike
+    # rmtree-then-rename which has a window where the table is missing
     import shutil
 
+    tmp = path + ".__staging__"
+    old = path + ".__old__"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)  # stray dir from a prior crash
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(path)

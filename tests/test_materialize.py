@@ -46,13 +46,13 @@ def test_resume_skips_completed_stages_and_is_identical(
     spark, fixture_pages, out_dir
 ):
     before = _snap(
-        spark.read.parquet(os.path.join(out_dir, "edges")),
+        spark.read.parquet(os.path.join(out_dir, "r1", "edges")),
         ["url", "pred", "subj_id", "obj_id"],
     )
     # simulate kill-after-stage-k: drop manifests for the last two stages
     for stage in ["nodes", "edges"]:
         os.remove(os.path.join(out_dir, "_manifest", "r1", f"{stage}.json"))
-        shutil.rmtree(os.path.join(out_dir, stage))
+        shutil.rmtree(os.path.join(out_dir, "r1", stage))
     tables = run_pipeline(spark, fixture_pages, out_dir, run_id="r1")
     after = _snap(tables["edges"], ["url", "pred", "subj_id", "obj_id"])
     assert before == after
@@ -80,6 +80,58 @@ def test_classify_pages_diff(spark, fixture_pages):
     assert counts["UNCHANGED"] == 61
 
 
+def test_classify_pages_moved_urls(spark, fixture_pages):
+    """Renamed urls match via relative_id: content-identical -> MOVED,
+    edited -> MODIFIED, both with old_url; no ADDED/DELETED residue."""
+    rows = corpus.generate_pages(64)
+    snap = pages_from_rows(spark, corpus.generate_moved_snapshot(rows))
+    changes = classify_pages(fixture_pages, snap).cache()
+    by_change = {
+        r["change"]: r["n"]
+        for r in changes.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_change.get("MOVED") == 1
+    assert by_change.get("MODIFIED") == 1
+    assert "ADDED" not in by_change
+    assert "DELETED" not in by_change
+    moved = changes.filter(F.col("old_url").isNotNull()).collect()
+    assert len(moved) == 2
+    for r in moved:
+        assert r["url"].startswith("https://mirror.test/")
+        assert r["old_url"] != r["url"]
+        # relative path preserved across the move
+        assert r["url"].split("/", 3)[3] == r["old_url"].split("/", 3)[3]
+
+
+def test_classify_pages_null_html_uses_text_hash(spark):
+    """Pages with html=NULL (pre-extracted text) must diff on text, not
+    classify as ADDED via md5(NULL)=NULL."""
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    old = spark.createDataFrame(
+        [
+            ("u://a", None, None, "same text", "en"),
+            ("u://b", None, None, "old text", "en"),
+            ("u://gone", None, None, "bye", "en"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("u://a", None, None, "same text", "en"),
+            ("u://b", None, None, "new text", "en"),
+        ],
+        schema,
+    )
+    got = {
+        r["url"]: r["change"] for r in classify_pages(old, new).collect()
+    }
+    assert got == {
+        "u://a": "UNCHANGED",
+        "u://b": "MODIFIED",
+        "u://gone": "DELETED",
+    }
+
+
 def test_incremental_triples_match_full_recompute(spark, fixture_pages):
     """Incremental merge == recompute-from-scratch on snapshot 2."""
     rows = corpus.generate_pages(64)
@@ -104,7 +156,7 @@ def test_incremental_triples_match_full_recompute(spark, fixture_pages):
 
 def test_edges_partitioning_spreads_head_entity(spark, fixture_pages, out_dir):
     """Salted write: the dominant head entity must span >1 output partition."""
-    edges = spark.read.parquet(os.path.join(out_dir, "edges"))
+    edges = spark.read.parquet(os.path.join(out_dir, "r1", "edges"))
     hooli = edges.filter(F.col("subj") == "Hooli")
     nfiles = (
         hooli.select(F.input_file_name().alias("f")).distinct().count()
