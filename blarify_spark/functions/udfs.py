@@ -61,13 +61,16 @@ MENTION_FULL_STRUCT = T.StructType(
     ]
 )
 
-# One-crossing page extraction result (SURVEY.md E1-E3 in a single Arrow
-# UDF): html bytes enter Python exactly once per page.
+# One-crossing page extraction result (SURVEY.md E1-E3 + E6 in a single
+# Arrow UDF): html bytes enter Python exactly once per page.
+# text_skeleton is the E6 skeletonize output (each fact sentence replaced
+# by a hashed placeholder line, blarify definition_node.py:100-138).
 PAGE_EXTRACT_STRUCT = T.StructType(
     [
         T.StructField("text", T.StringType(), False),
         T.StructField("mentions", T.ArrayType(MENTION_FULL_STRUCT), False),
         T.StructField("triples", T.ArrayType(TRIPLE_STRUCT), False),
+        T.StructField("text_skeleton", T.StringType(), False),
     ]
 )
 
@@ -148,6 +151,7 @@ def _ctx_tokens(ctx: str) -> list[str]:
 
 def _extract_all_of(row: tuple) -> tuple:
     from blarify_spark.corpus import pseudo_embedding
+    from blarify_spark.ref.triples import skeletonize_text
 
     html, pretext = row
     text = pretext if pretext else extract_text_bytes(html)
@@ -168,13 +172,16 @@ def _extract_all_of(row: tuple) -> tuple:
         (t["subj"], t["pred"], t["obj"], t["start"], t["end"], t["sentence_idx"])
         for t in extract_triples(text)
     ]
-    return (text, mentions, triples)
+    skeleton = skeletonize_text(text, [(t[3], t[4]) for t in triples])
+    return (text, mentions, triples, skeleton)
 
 
 @F.pandas_udf(PAGE_EXTRACT_STRUCT)
 def _extract_all_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
     out = [_extract_all_of(row) for row in zip(html, text)]
-    return pd.DataFrame(out, columns=["text", "mentions", "triples"])
+    return pd.DataFrame(
+        out, columns=["text", "mentions", "triples", "text_skeleton"]
+    )
 
 
 extract_all_udf = _extract_all_udf.asNondeterministic()  # single-eval barrier

@@ -24,6 +24,19 @@ SIMHASH_BANDS = 4  # 8 bits per band -> candidates within hamming <= 3-ish
 # the verify join is O(near-dups).
 MINHASH_H = 32
 MINHASH_BANDS = 16
+# Size guards (the quadratic-blowup fences; both are far above anything
+# this corpus produces — max shingle df is 25 at sf0.1 — so results are
+# unchanged at test scale, but at 100 TB a stopword-like shingle or a
+# degenerate LSH bucket would otherwise explode the self-join):
+# * a shingle occurring in > MAX_SHINGLE_DF docs is non-discriminative
+#   and is excluded from the exact-Jaccard shingle universe (identically
+#   in the Spark plan and the DuckDB oracle, so parity holds by
+#   construction at any scale)
+# * an LSH band bucket holding > MAX_BUCKET docs is non-discriminative
+#   and is dropped (mirrors plans/canonicalize.py MAX_BUCKET; any truly
+#   similar pair also collides in a smaller bucket of another band whp)
+MAX_SHINGLE_DF = 64
+MAX_BUCKET = 256
 
 
 def word_ngrams(col, n: int = NGRAM_N):  # noqa: ANN001
@@ -79,11 +92,15 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
       WHERE len(w) >= 3
+    ), sh AS (
+      SELECT * FROM sh0 WHERE shingle IN (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {MAX_SHINGLE_DF})
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -102,13 +119,23 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= threshold via shingle self-join
-    (the ground truth the LSH path approximates)."""
+    (the ground truth the LSH path approximates). Stopword-like shingles
+    (doc frequency > MAX_SHINGLE_DF) are excluded from the shingle
+    universe — identically in the DuckDB oracle — bounding the self-join
+    at df^2 per shingle instead of corpus^2."""
     t = load_tables(spark, sf_dir, ["documents"])
-    sh = (
+    sh0 = (
         t["documents"]
         .filter(F.size(F.split("text", " ")) >= NGRAM_N)
         .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
     )
+    rare = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -142,16 +169,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same construction as entity canonicalization
     (blarify_spark.plans.canonicalize) but over word-3-gram document
-    shingles: 16 index-seeded xxhash64 minhashes, 4 bands -> bucket
+    shingles: 32 index-seeded xxhash64 minhashes, 16 bands -> bucket
     self-join -> exact verify. O(near-dups), not O(n^2); xxhash64 is
     engine-specific so correctness is pinned by pytest vs
     dedup_ngram_jaccard instead of a DuckDB oracle.
+
+    Scale hygiene: (1) band buckets larger than MAX_BUCKET are dropped
+    before the self-join (non-discriminative buckets would pair
+    quadratically; a real near-dup pair also collides in a smaller bucket
+    of another band whp); (2) the band explode and the bucket self-join
+    carry ONLY (band_key, doc_id) — the shingle arrays are re-joined by
+    doc_id for the O(near-dups) verify step, so the 16x explode and the
+    shuffle never ship the wide payload.
     """
     t = load_tables(spark, sf_dir, ["documents"])
+    # localCheckpoint: the (doc_id, shingles) projection is read three
+    # times (band build + the two verify-side joins) — materialize it once
+    # instead of re-scanning and re-shingling the corpus per consumer
     docs = (
         t["documents"]
         .filter(F.size(F.split("text", " ")) >= NGRAM_N)
         .select("doc_id", word_ngrams(F.col("text")).alias("shingles"))
+        .localCheckpoint(eager=True)
     )
 
     def _minhash(i: int):
@@ -164,10 +203,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows_per_band = MINHASH_H // MINHASH_BANDS
-    docs = docs.withColumn("sig", sig)
     bands = docs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -176,7 +213,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "|",
                             F.lit(bi),
                             *[
-                                F.col("sig")[bi * rows_per_band + r]
+                                sig[bi * rows_per_band + r]
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -186,20 +223,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.select(
-        "band_key", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    small_buckets = (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= MAX_BUCKET)
+        .select("band_key")
     )
-    b = bands.select(
-        "band_key", F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
-    )
+    bands = bands.join(small_buckets, "band_key", "left_semi")
     cand = (
-        a.join(b, "band_key")
+        bands.select("band_key", F.col("doc_id").alias("doc_a"))
+        .join(
+            bands.select("band_key", F.col("doc_id").alias("doc_b")),
+            "band_key",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -153,6 +153,22 @@ def kg_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kg_skeletons", oracle=None)
+def kg_skeletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 analog (blarify definition_node.py:100-138 skeletonize): page
+    text with every fact sentence replaced by a hashed placeholder line —
+    computed by span arithmetic inside the fused extraction UDF, so it
+    costs no extra Python crossing. Byte-exactness vs the pure-Python
+    twin is pytest-pinned (tests/test_skeleton.py)."""
+    return (
+        _kg(spark)["pages"]
+        .filter(F.col("extract_status") == "ok")
+        .select("url", "text_skeleton")
+        .orderBy("url")
+        .limit(20)
+    )
+
+
 @register("kg_text_search", oracle=None)
 def kg_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 analog: substring search over page text, LIMIT 20, snippet."""

@@ -17,11 +17,15 @@ from blarify_spark.sources.tables import load_tables
 
 TOP_K = 10
 NEARDUP_COS = 0.95
-# 2 independent tables of 4 hyperplanes: P(candidate found) =
-# 1-(1-p)^2 per table with p = P(<=1 of 4 sign bits differs) — ~0.99 for
-# near neighbors with hamming-1 multiprobe.
+# 2 independent tables of hyperplanes: P(candidate found) = 1-(1-p)^2 per
+# table with p = P(<=1 sign bit differs) via hamming-1 multiprobe. The
+# plane count SCALES with corpus size — planes = ceil(log2(n / target
+# bucket size)) — so a probe always scans O(LSH_TARGET_BUCKET) vectors,
+# not n/2^const: with a fixed plane count every bucket holds n/2^p rows
+# and the "index" degenerates to a near-full scan at 100x scale.
 LSH_TABLES = 2
-PLANES_PER_TABLE = 4
+MIN_PLANES = 4
+LSH_TARGET_BUCKET = 128
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
@@ -93,7 +97,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_a", "vec_b")
     )
 
-def _lsh_table_keys(vec_col) -> F.Column:  # noqa: ANN001
+def _n_planes(n_vectors: int) -> int:
+    """log2-scaled plane count: every bucket targets ~LSH_TARGET_BUCKET
+    vectors regardless of corpus size."""
+    import math
+
+    return max(
+        MIN_PLANES, math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET, 2)))
+    )
+
+
+def _lsh_table_keys(vec_col, planes: int) -> F.Column:  # noqa: ANN001
     """Array of per-table bucket keys 'table:bucket', fully native.
 
     Plane (t, p)'s component i is +-1 from xxhash64(t, p, i); bit p of
@@ -113,7 +127,7 @@ def _lsh_table_keys(vec_col) -> F.Column:  # noqa: ANN001
     keys = []
     for t in range(LSH_TABLES):
         bucket = F.lit(0)
-        for p in range(PLANES_PER_TABLE):
+        for p in range(planes):
             plane = F.transform(
                 F.sequence(F.lit(0), F.size(vec_col) - 1), _plane_fn(t, p)
             )
@@ -135,16 +149,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join replaces the full scan. Recall vs ann_cosine_topk
     pinned by pytest."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    planes = _n_planes(emb.count())
     with_keys = emb.select(
         "vec_id",
         "label",
         "embedding",
-        F.explode(_lsh_table_keys(F.col("embedding"))).alias("bucket_key"),
+        F.explode(_lsh_table_keys(F.col("embedding"), planes)).alias(
+            "bucket_key"
+        ),
     )
     # query probes: own key per table plus every hamming-1 bucket
     qrow = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec"),
-        _lsh_table_keys(F.col("embedding")).alias("qkeys"),
+        _lsh_table_keys(F.col("embedding"), planes).alias("qkeys"),
     )
     probe_exprs = []
     for t in range(LSH_TABLES):
@@ -152,7 +169,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_exprs.append(F.col("qkeys")[t])
         probe_exprs.extend(
             F.concat_ws(":", F.lit(t), qbucket.bitwiseXOR(F.lit(1 << p)))
-            for p in range(PLANES_PER_TABLE)
+            for p in range(planes)
         )
     probes = qrow.select(
         "qvec", F.explode(F.array(*probe_exprs)).alias("bucket_key")

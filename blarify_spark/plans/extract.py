@@ -43,6 +43,7 @@ def extract_all_stage(pages: DataFrame) -> DataFrame:
         F.col("_ex.text").alias("text"),
         F.col("_ex.mentions").alias("mentions"),
         F.col("_ex.triples").alias("triples"),
+        F.col("_ex.text_skeleton").alias("text_skeleton"),
         F.when(
             F.col("html").isNotNull() & (F.length("_ex.text") == 0), F.lit("raw")
         )

@@ -12,6 +12,7 @@ from blarify_spark.ref.html_extract import extract_text, extract_text_bytes
 from blarify_spark.ref.triples import (
     extract_mentions,
     extract_triples,
+    skeletonize_text,
     split_sentences,
 )
 
@@ -21,4 +22,5 @@ __all__ = [
     "split_sentences",
     "extract_mentions",
     "extract_triples",
+    "skeletonize_text",
 ]

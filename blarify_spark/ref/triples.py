@@ -179,6 +179,34 @@ def _extract_from_sentence(sent_text: str) -> tuple[str, str, str] | None:
     return subj, pred, obj
 
 
+def skeletonize_text(text: str, spans: list[tuple[int, int]]) -> str:
+    """E6 skeletonize (blarify definition_node.py:100-138): replace each
+    child span with a placeholder line keyed by the replaced content's
+    md5 (our hashed_id analog), left-to-right with offset arithmetic.
+
+    Mirrors the reference byte mechanics: the placeholder carries its own
+    trailing newline and the line break following the replaced span is
+    dropped (remove_line_break_if_present). Overlapping or out-of-range
+    spans are skipped defensively (sentence spans never overlap by
+    construction).
+    """
+    import hashlib
+
+    out: list[str] = []
+    pos = 0
+    for start, end in sorted(spans):
+        if start < pos or start >= end or end > len(text):
+            continue
+        out.append(text[pos:start])
+        node_id = hashlib.md5(text[start:end].encode("utf-8")).hexdigest()
+        out.append(f"# Code replaced for brevity, see node: {node_id}\n")
+        pos = end
+        if text[pos : pos + 1] == "\n":
+            pos += 1
+    out.append(text[pos:])
+    return "".join(out)
+
+
 def extract_triples(text: str) -> list[Triple]:
     """Extract (subj, pred, obj) triples with sentence-span provenance."""
     triples: list[Triple] = []
