@@ -59,6 +59,54 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "content_hash_cache",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS feat
+      FROM documents
+    )
+    SELECT content_hash, COUNT(*) AS n_docs_served,
+           MIN(doc_id) AS sample_doc, MAX(feat) AS tok_feat
+    FROM h GROUP BY content_hash
+    ORDER BY content_hash
+    """,
+)
+def content_hash_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-expensive-compute: the content-hash embedding cache
+    pattern (blarify services/embedding_service.py:109-144 — embed each
+    distinct content hash once, fan results back out to every holder).
+
+    Plan shape is the pattern itself: dropDuplicates(content_hash) ->
+    compute the feature ONCE per distinct content -> re-join to all
+    docs. The 'expensive' step here is a native expression so the DuckDB
+    oracle can verify it; swapping in ctx_embedding_udf keeps the exact
+    same plan (tests/test_sinks_cache.py pins that the UDF-side input is
+    the deduped set, not the corpus).
+    """
+    t = load_tables(spark, sf_dir, ["documents"])
+    hashed = t["documents"].select(
+        "doc_id", F.md5("text").alias("content_hash"), "text"
+    )
+    distinct = hashed.select("content_hash", "text").dropDuplicates(
+        ["content_hash"]
+    )
+    feats = distinct.select(
+        "content_hash", F.size(_tokens(F.col("text"))).alias("feat")
+    )
+    served = hashed.drop("text").join(feats, "content_hash")
+    return (
+        served.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_served"),
+            F.min("doc_id").alias("sample_doc"),
+            F.max("feat").alias("tok_feat"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+@register(
     "text_quality_scores",
     oracle=f"""
     SELECT doc_id,
