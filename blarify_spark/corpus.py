@@ -176,8 +176,38 @@ _LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"]
 _BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
 
 
-def _fact_sentence(fact: tuple[str, str, str]) -> str:
+# Predicate-phrase translations for non-English pages (must stay in sync
+# with ref.triples.PREDICATES_DE / PREDICATES_FR so extraction recovers
+# the same canonical predicate — the E4 per-language rule fixture).
+_PRED_I18N: dict[str, dict[str, str]] = {
+    "de": {
+        "is located in": "liegt in",
+        "was founded by": "wurde gegründet von",
+        "is the capital of": "ist die Hauptstadt von",
+        "acquired": "übernahm",
+        "invented": "erfand",
+        "discovered": "entdeckte",
+        "developed": "entwickelte",
+        "works at": "arbeitet bei",
+        "wrote": "schrieb",
+    },
+    "fr": {
+        "is located in": "est situé à",
+        "was founded by": "a été fondée par",
+        "is the capital of": "est la capitale de",
+        "acquired": "a acquis",
+        "invented": "a inventé",
+        "discovered": "a découvert",
+        "developed": "a développé",
+        "works at": "travaille chez",
+        "wrote": "a écrit",
+    },
+}
+
+
+def _fact_sentence(fact: tuple[str, str, str], lang: str = "en") -> str:
     subj, pred_phrase, obj = fact
+    pred_phrase = _PRED_I18N.get(lang, {}).get(pred_phrase, pred_phrase)
     return f"{subj} {pred_phrase} {obj}."
 
 
@@ -366,9 +396,10 @@ def generate_pages(
     if synth_entities > 0:
         fact_pool += synth_fact_pool(synth_entities, seed)
     while len(pages) < n_pages:
+        lang = rng.choice(_LANGS)  # picked first: facts render in-language
         n_facts = rng.randint(*facts_range)
         facts = [rng.choice(fact_pool) for _ in range(n_facts)]
-        paragraphs = [[_fact_sentence(f)] for f in facts]
+        paragraphs = [[_fact_sentence(f, lang)] for f in facts]
         paragraphs.append([rng.choice(_NOISE_SENTENCES)])
         pages.append(
             _page(
@@ -376,7 +407,7 @@ def generate_pages(
                 "simple",
                 f"Notes {k}",
                 paragraphs,
-                rng.choice(_LANGS),
+                lang,
             )
         )
         k += 1

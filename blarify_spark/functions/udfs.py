@@ -98,18 +98,18 @@ extract_text_udf = _extract_text_udf.asNondeterministic()
 # ---------------------------------------------------------------------------
 
 
-def _triples_of(text: str | None) -> list[tuple]:
+def _triples_of(text: str | None, lang: str | None = "en") -> list[tuple]:
     if not text:
         return []
     return [
         (t["subj"], t["pred"], t["obj"], t["start"], t["end"], t["sentence_idx"])
-        for t in extract_triples(text)
+        for t in extract_triples(text, lang or "en")
     ]
 
 
 @F.pandas_udf(T.ArrayType(TRIPLE_STRUCT))
-def extract_triples_udf(text: pd.Series) -> pd.Series:
-    return text.map(_triples_of)
+def extract_triples_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+    return pd.Series([_triples_of(t, g) for t, g in zip(text, lang)])
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +153,7 @@ def _extract_all_of(row: tuple) -> tuple:
     from blarify_spark.corpus import pseudo_embedding
     from blarify_spark.ref.triples import skeletonize_text
 
-    html, pretext = row
+    html, pretext, lang = row
     text = pretext if pretext else extract_text_bytes(html)
     mentions = []
     for m in extract_mentions(text):
@@ -170,15 +170,17 @@ def _extract_all_of(row: tuple) -> tuple:
         )
     triples = [
         (t["subj"], t["pred"], t["obj"], t["start"], t["end"], t["sentence_idx"])
-        for t in extract_triples(text)
+        for t in extract_triples(text, lang or "en")
     ]
     skeleton = skeletonize_text(text, [(t[3], t[4]) for t in triples])
     return (text, mentions, triples, skeleton)
 
 
 @F.pandas_udf(PAGE_EXTRACT_STRUCT)
-def _extract_all_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-    out = [_extract_all_of(row) for row in zip(html, text)]
+def _extract_all_udf(
+    html: pd.Series, text: pd.Series, lang: pd.Series
+) -> pd.DataFrame:
+    out = [_extract_all_of(row) for row in zip(html, text, lang)]
     return pd.DataFrame(
         out, columns=["text", "mentions", "triples", "text_skeleton"]
     )

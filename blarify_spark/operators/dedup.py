@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.operators.registry import register
 from blarify_spark.sources.tables import load_tables
 
@@ -190,7 +191,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"]
         .filter(F.size(F.split("text", " ")) >= NGRAM_N)
         .select("doc_id", word_ngrams(F.col("text")).alias("shingles"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     def _minhash(i: int):

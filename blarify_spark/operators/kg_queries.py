@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.operators.registry import register
 
 _CACHE: dict[int, dict[str, DataFrame]] = {}
@@ -136,7 +137,7 @@ def kg_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = step.join(
             reached.select("root", "node"), ["root", "node"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         if frontier.isEmpty():
             break
         reached = reached.unionByName(
@@ -532,7 +533,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
         if it % 2 == 1:  # cut lineage every other round
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(cut_lineage)
     top = (
         ranks.join(kg["nodes"], ranks.node == F.col("canon_id"))
         .select("name", F.round("rank", 6).alias("rank"))
@@ -701,7 +702,7 @@ def _workflow_traces(kg: dict[str, DataFrame]) -> DataFrame:
             frontier.join(e_i, frontier.node == F.col(f"src_{i}"))
             .join(n_i, F.col(f"dst_{i}") == F.col(f"nid_{i}"))
             .filter(~F.array_contains(F.col("ids"), F.col(f"dst_{i}")))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         step = ext.select(
             F.col(f"dst_{i}").alias("node"),

@@ -316,6 +316,78 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_innermost",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             datediff('day', TIMESTAMP '1990-01-01', l_shipdate) AS ship_day,
+             CAST(l_quantity AS INT) % 30 AS span_days
+      FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT r.l_orderkey AS o_orderkey, r.l_linenumber AS ref_line,
+           s.l_linenumber AS scope_line, s.span_days
+    FROM li r JOIN li s
+      ON s.l_orderkey = r.l_orderkey
+     AND s.l_linenumber <> r.l_linenumber
+     AND r.ship_day >= s.ship_day
+     AND r.ship_day <= s.ship_day + s.span_days
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY r.l_orderkey, r.l_linenumber
+      ORDER BY s.span_days, s.l_linenumber) = 1
+    ORDER BY o_orderkey, ref_line
+    """,
+)
+def range_join_innermost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 composed as ONE operator (blarify definition_node.py:72-98 +
+    relationship_creator.py:17-57): a reference resolves to the INNERMOST
+    enclosing scope of the same document — equi key (document) + interval
+    containment + smallest-span window pick with a deterministic
+    tie-break. Here: each lineitem's ship day against its sibling
+    lineitems' [ship_day, ship_day + quantity%30] windows (integer
+    day-space so Spark and DuckDB agree exactly)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(
+                "l_shipdate", F.lit("1990-01-01").cast("timestamp")
+            ).alias("ship_day"),
+            (F.col("l_quantity").cast("int") % 30).alias("span_days"),
+        )
+    )
+    r = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").alias("ref_line"),
+        F.col("ship_day").alias("ref_day"),
+    )
+    s = li.select(
+        F.col("l_orderkey").alias("s_orderkey"),
+        F.col("l_linenumber").alias("scope_line"),
+        "ship_day",
+        "span_days",
+    )
+    w = W.partitionBy("o_orderkey", "ref_line").orderBy(
+        "span_days", "scope_line"
+    )
+    return (
+        r.join(
+            s,
+            (F.col("s_orderkey") == F.col("o_orderkey"))
+            & (F.col("scope_line") != F.col("ref_line"))
+            & (F.col("ref_day") >= F.col("ship_day"))
+            & (F.col("ref_day") <= F.col("ship_day") + F.col("span_days")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "ref_line", "scope_line", "span_days")
+        .orderBy("o_orderkey", "ref_line")
+    )
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
     SELECT o_orderkey,

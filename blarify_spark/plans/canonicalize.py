@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from blarify_spark.functions.checkpoint import cut_lineage
+
 # MinHash-LSH parameters: H = BANDS * ROWS_PER_BAND.
 NUM_HASHES = 32
 BANDS = 8
@@ -199,7 +201,7 @@ def connected_components(
     # lineage would re-execute per round
     sym = pairs.select("src", "dst").union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     # Iterate ONLY over pair-connected nodes: near-duplicate clusters are
     # a tiny fraction of a web corpus, so every loop job runs on the
     # small connected subset; singletons get identity labels via one
@@ -207,7 +209,7 @@ def connected_components(
     connected = sym.select(F.col("src").alias("node_id")).distinct()
     labels = connected.select(
         F.col("node_id"), F.col("node_id").alias("canon_id")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
 
     prev_sig = None
     for _ in range(max_rounds):
@@ -238,7 +240,7 @@ def connected_components(
                 "node_id",
                 F.coalesce("j_canon", F.col("s.canon_id")).alias("canon_id"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         # convergence check: order-independent signature of the labeling
         # (one narrow aggregate — no join) compared across rounds;

@@ -34,7 +34,7 @@ def extract_all_stage(pages: DataFrame) -> DataFrame:
 
     Output: pages columns + text, extract_status, mentions, triples.
     """
-    ex = extract_all_udf(F.col("html"), F.col("text"))
+    ex = extract_all_udf(F.col("html"), F.col("text"), F.col("lang"))
     out = pages.withColumn("_ex", ex).select(
         "url",
         "warc_ts",
@@ -103,7 +103,9 @@ def triples_stage(pages_with_text: DataFrame) -> DataFrame:
     this in the same stage as the scan; provenance columns ride along.
     """
     return (
-        pages_with_text.withColumn("_t", extract_triples_udf(F.col("text")))
+        pages_with_text.withColumn(
+            "_t", extract_triples_udf(F.col("text"), F.col("lang"))
+        )
         .select(
             "url",
             "warc_ts",

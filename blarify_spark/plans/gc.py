@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from blarify_spark.functions.checkpoint import cut_lineage
+
 MAX_ROUNDS = 20
 
 
@@ -31,8 +33,8 @@ def gc_empty_containers(
 
     Returns (alive_nodes, deleted) where deleted = (node_id, round).
     """
-    alive = nodes.localCheckpoint(eager=True)
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    alive = nodes.transform(cut_lineage)
+    e = edges.select("src", "dst").transform(cut_lineage)
     deleted = nodes.select("node_id").filter(F.lit(False)).withColumn(
         "round", F.lit(0)
     )
@@ -45,18 +47,16 @@ def gc_empty_containers(
                 "left_anti",
             )
             .select("node_id")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if empty.isEmpty():
             break
-        alive = alive.join(empty, "node_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        alive = alive.join(empty, "node_id", "left_anti").transform(cut_lineage)
         # detach: a deleted container has no outgoing edges by definition,
         # so only edges INTO it need dropping
         e = e.join(
             empty.withColumnRenamed("node_id", "dst"), "dst", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         deleted = deleted.unionByName(empty.withColumn("round", F.lit(rnd)))
     return alive, deleted
 

@@ -206,46 +206,38 @@ def link_triples(triples: DataFrame, linked_mentions: DataFrame, _page_links: Da
             .select("url", "surface", "b.*")
         )
 
-    s = page_links.select(
-        F.col("url").alias("s_url"),
-        F.col("surface").alias("s_surface"),
-        F.col("entity_id").alias("subj_id"),
-        F.col("canonical_name").alias("subj_name"),
+    # ONE url-keyed join instead of two (url, surface) joins: fold the
+    # page's links into a per-url map (tiny — distinct surfaces per page),
+    # join it to the triples once, and resolve BOTH endpoints by map
+    # lookup. Halves the shuffle volume over the wide triple table (the
+    # dominant linking cost at scale); the extra map-build aggregation
+    # shuffles only (url, surface) pairs down to one row per url.
+    page_map = page_links.groupBy("url").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("surface"),
+                    F.struct("entity_id", "canonical_name"),
+                )
+            )
+        ).alias("_lm")
     )
-    o = page_links.select(
-        F.col("url").alias("o_url"),
-        F.col("surface").alias("o_surface"),
-        F.col("entity_id").alias("obj_id"),
-        F.col("canonical_name").alias("obj_name"),
-    )
-
+    j = triples.join(page_map, "url", "left")
+    s_hit = F.element_at("_lm", F.col("subj"))
+    o_hit = F.element_at("_lm", F.col("obj"))
+    nil_subj = F.md5(F.concat(F.lit("nil:"), F.lower(F.col("subj"))))
     nil_obj = F.md5(F.concat(F.lit("nil:"), F.lower(F.col("obj"))))
-    out = (
-        triples.join(
-            s,
-            (triples.url == s.s_url) & (triples.subj == s.s_surface),
-            "left",
-        )
-        .join(
-            o,
-            (triples.url == o.o_url) & (triples.obj == o.o_surface),
-            "left",
-        )
-        .select(
-            "url",
-            "warc_ts",
-            "subj",
-            "pred",
-            "obj",
-            "span_start",
-            "span_end",
-            F.coalesce(
-                "subj_id", F.md5(F.concat(F.lit("nil:"), F.lower(F.col("subj"))))
-            ).alias("subj_id"),
-            F.coalesce("subj_name", F.col("subj")).alias("subj_name"),
-            F.coalesce("obj_id", nil_obj).alias("obj_id"),
-            F.coalesce("obj_name", F.col("obj")).alias("obj_name"),
-        )
-        .filter(F.col("subj_id") != F.col("obj_id"))
-    )
+    out = j.select(
+        "url",
+        "warc_ts",
+        "subj",
+        "pred",
+        "obj",
+        "span_start",
+        "span_end",
+        F.coalesce(s_hit["entity_id"], nil_subj).alias("subj_id"),
+        F.coalesce(s_hit["canonical_name"], F.col("subj")).alias("subj_name"),
+        F.coalesce(o_hit["entity_id"], nil_obj).alias("obj_id"),
+        F.coalesce(o_hit["canonical_name"], F.col("obj")).alias("obj_name"),
+    ).filter(F.col("subj_id") != F.col("obj_id"))
     return out

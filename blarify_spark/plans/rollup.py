@@ -30,6 +30,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from blarify_spark.functions.checkpoint import cut_lineage
+
 MAX_ROUNDS = 30
 STUCK_LIMIT = 2
 
@@ -61,13 +63,13 @@ def bottom_up_rollup(
     `forced` marks nodes handled by the cycle-break pass with an
     incomplete child set.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().transform(cut_lineage)
     kids = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_kids"))
     base = (
         nodes.select("node_id", "name")
         .join(kids.withColumnRenamed("src", "node_id"), "node_id", "left")
         .withColumn("n_kids", F.coalesce("n_kids", F.lit(0)))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
 
     done = base.filter(F.lit(False)).select(
@@ -142,7 +144,7 @@ def bottom_up_rollup(
             F.lit(rnd).alias("round"),
             F.lit(forced).alias("forced"),
         )
-        done = done.unionByName(new).localCheckpoint(eager=True)
+        done = done.unionByName(new).transform(cut_lineage)
     return done
 
 

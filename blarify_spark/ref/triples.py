@@ -59,16 +59,70 @@ PREDICATES: dict[str, str] = {
     "cites": "cites",
 }
 
-_PRED_RE = re.compile(
-    r" (?:"
-    + "|".join(
-        re.escape(p) for p in sorted(PREDICATES, key=len, reverse=True)
-    )
-    + r") "
-)
+# Per-language predicate lexicons — the E4 rule-dispatch analog (blarify
+# maps file extension -> language-specific definitions,
+# project_graph_creator.py:42-53, python_definitions.py:27-48). A page in
+# language X parses with the EN lexicon UNION X's lexicon: real web pages
+# mix languages, and unmapped predicates simply don't fire.
+PREDICATES_DE: dict[str, str] = {
+    "liegt in": "located_in",
+    "wurde gegründet von": "founded_by",
+    "ist die Hauptstadt von": "capital_of",
+    "übernahm": "acquired",
+    "erfand": "invented",
+    "entdeckte": "discovered",
+    "entwickelte": "developed",
+    "arbeitet bei": "works_at",
+    "schrieb": "wrote",
+}
+PREDICATES_FR: dict[str, str] = {
+    "est situé à": "located_in",
+    "a été fondée par": "founded_by",
+    "est la capitale de": "capital_of",
+    "a acquis": "acquired",
+    "a inventé": "invented",
+    "a découvert": "discovered",
+    "a développé": "developed",
+    "travaille chez": "works_at",
+    "a écrit": "wrote",
+}
+LANG_PREDICATES: dict[str, dict[str, str]] = {
+    "en": {},
+    "de": PREDICATES_DE,
+    "fr": PREDICATES_FR,
+}
+
+# Leading-article strip per language (object normalization).
+LANG_ARTICLES: dict[str, str] = {
+    "en": r"the|a|an",
+    "de": r"the|a|an|der|die|das|dem|den|ein|eine|einem|einen",
+    "fr": r"the|a|an|le|la|les|un|une|l'",
+}
+
+_LEX_CACHE: dict[str, tuple[re.Pattern, dict[str, str], re.Pattern]] = {}
+
+
+def _lang_rules(lang: str | None) -> tuple[re.Pattern, dict[str, str], re.Pattern]:
+    """Compiled (predicate regex, lexicon, article regex) for a language
+    — built once per language, the dispatch table itself."""
+    key = lang if lang in LANG_PREDICATES else "en"
+    if key not in _LEX_CACHE:
+        lex = {**PREDICATES, **LANG_PREDICATES[key]}
+        pred_re = re.compile(
+            r" (?:"
+            + "|".join(
+                re.escape(p) for p in sorted(lex, key=len, reverse=True)
+            )
+            + r") "
+        )
+        art_re = re.compile(
+            r"^(?:" + LANG_ARTICLES[key] + r") ", re.IGNORECASE
+        )
+        _LEX_CACHE[key] = (pred_re, lex, art_re)
+    return _LEX_CACHE[key]
+
 
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
-_ARTICLE_RE = re.compile(r"^(?:the|a|an) ", re.IGNORECASE)
 _TRAIL_PUNCT_RE = re.compile(r"[.!?,;:]+$")
 
 
@@ -155,15 +209,19 @@ def extract_mentions(text: str) -> list[Mention]:
 # ---------------------------------------------------------------------------
 
 
-def _extract_from_sentence(sent_text: str) -> tuple[str, str, str] | None:
+def _extract_from_sentence(
+    sent_text: str, lang: str = "en"
+) -> tuple[str, str, str] | None:
     """Apply the SVO rule to one sentence; None if no match.
 
     Rule: ``<Entity> <predicate-phrase> <object>`` where the subject must
     be a full entity-pattern match anchored at sentence start and the
     object is the non-empty remainder (leading article + trailing
-    punctuation stripped).
+    punctuation stripped). The predicate lexicon and article list are
+    dispatched per language (E4).
     """
-    pm = _PRED_RE.search(sent_text)
+    pred_re, lex, art_re = _lang_rules(lang)
+    pm = pred_re.search(sent_text)
     if pm is None:
         return None
     subj = sent_text[: pm.start()]
@@ -172,10 +230,10 @@ def _extract_from_sentence(sent_text: str) -> tuple[str, str, str] | None:
         return None
     obj = sent_text[pm.end() :]
     obj = _TRAIL_PUNCT_RE.sub("", obj).strip()
-    obj = _ARTICLE_RE.sub("", obj)
+    obj = art_re.sub("", obj)
     if not obj:
         return None
-    pred = PREDICATES[pm.group(0).strip()]
+    pred = lex[pm.group(0).strip()]
     return subj, pred, obj
 
 
@@ -207,11 +265,12 @@ def skeletonize_text(text: str, spans: list[tuple[int, int]]) -> str:
     return "".join(out)
 
 
-def extract_triples(text: str) -> list[Triple]:
-    """Extract (subj, pred, obj) triples with sentence-span provenance."""
+def extract_triples(text: str, lang: str = "en") -> list[Triple]:
+    """Extract (subj, pred, obj) triples with sentence-span provenance,
+    using the language-dispatched rule set (E4)."""
     triples: list[Triple] = []
     for idx, sent in enumerate(split_sentences(text)):
-        svo = _extract_from_sentence(sent["text"])
+        svo = _extract_from_sentence(sent["text"], lang)
         if svo is not None:
             subj, pred, obj = svo
             triples.append(

@@ -53,12 +53,25 @@ def run_once(cpus: int) -> dict:
     return json.loads(line)
 
 
+STEAL_OK_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_OK", "0.5"))
+
+
 def best_of(cpus: int) -> dict:
-    """Best of REPEATS runs — the sandbox host has noisy-neighbor CPU
-    steal (observed 2-3x swings with zero local load), and max-throughput
-    is the estimator least biased by external steal."""
-    runs = [run_once(cpus) for _ in range(REPEATS)]
-    return max(runs, key=lambda r: r["kg_triples_per_sec"])
+    """Best of up to REPEATS runs — the sandbox host has noisy-neighbor
+    CPU steal (observed 2-3x swings with zero local load), so each run
+    reports the machine-wide steal%% observed during its timed window
+    (bench.py kg_steal_pct) and a calm run (steal <= STEAL_OK_PCT) is
+    accepted immediately; otherwise max-throughput is the estimator least
+    biased by external steal."""
+    runs = []
+    for _ in range(REPEATS):
+        r = run_once(cpus)
+        runs.append(r)
+        if r.get("kg_steal_pct", 99.0) <= STEAL_OK_PCT:
+            break
+    best = max(runs, key=lambda r: r["kg_triples_per_sec"])
+    best["_all_throughputs"] = [r["kg_triples_per_sec"] for r in runs]
+    return best
 
 
 def main() -> None:
@@ -77,6 +90,10 @@ def main() -> None:
                 "throughput_n": tp_lo,
                 "n4_cores": 4 * N,
                 "throughput_4n": tp_hi,
+                "steal_pct_n": lo.get("kg_steal_pct"),
+                "steal_pct_4n": hi.get("kg_steal_pct"),
+                "tries_n": lo.get("_all_throughputs"),
+                "tries_4n": hi.get("_all_throughputs"),
                 "kg_pages": int(PAGES),
                 "kg_facts": [int(FACTS_LO), int(FACTS_HI)],
                 "pass_north_rule": eff >= 0.8,

@@ -142,6 +142,8 @@ def test_exact_canonical_counts_pinned(spark, fixture_pages):
         triples_from(ext), mentions_from(ext), alias_dict(spark)
     )
     nodes, edges, _ = canonicalize(lt)
-    assert lt.count() == 179
+    # (updated for the E4 per-language corpus: de/fr simple pages render
+    # translated predicate phrases, shifting the seeded fact mix)
+    assert lt.count() == 186
     assert nodes.count() == 38
-    assert edges.count() == 179
+    assert edges.count() == 186

@@ -58,7 +58,7 @@ def test_triples_exact_multiset_parity(spark, fixture_pages):
     expected = Counter()
     for row in corpus.generate_pages(64):
         text = extract_text_bytes(row["html"])
-        for t in extract_triples(text):
+        for t in extract_triples(text, row["lang"]):
             expected[(row["url"], t["subj"], t["pred"], t["obj"])] += 1
     assert spark_triples == expected
     assert sum(expected.values()) > 100

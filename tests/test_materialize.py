@@ -145,7 +145,7 @@ def test_incremental_triples_match_full_recompute(spark, fixture_pages):
     expected = sorted(
         (r["url"], t["subj"], t["pred"], t["obj"])
         for r in snap2_rows
-        for t in extract_triples(extract_text_bytes(r["html"]))
+        for t in extract_triples(extract_text_bytes(r["html"]), r["lang"])
     )
     got = sorted(
         (r["url"], r["subj"], r["pred"], r["obj"])

@@ -27,7 +27,7 @@ def test_spo_precision_recall_gate(spark, fixture_pages):
     }
     expected = set()
     for row in corpus.generate_pages(64):
-        for t in extract_triples(extract_text_bytes(row["html"])):
+        for t in extract_triples(extract_text_bytes(row["html"]), row["lang"]):
             expected.add((row["url"], t["subj"], t["pred"], t["obj"]))
 
     precision, recall = _pr(got, expected)

@@ -120,7 +120,7 @@ def test_corpus_simple_pages_have_expected_triples():
     for p in simple[:5]:
         text = extract_text_bytes(p["html"])
         assert text  # extraction succeeds
-        assert len(extract_triples(text)) >= 2  # 2-5 fact sentences
+        assert len(extract_triples(text, p["lang"])) >= 2  # 2-5 fact sentences
 
 
 def test_corpus_raw_garbage_yields_empty_or_partial_text():

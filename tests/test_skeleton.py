@@ -69,5 +69,5 @@ def test_spark_skeleton_column_matches_pure_python(spark, fixture_pages):
     assert len(got) == len(rows)
     for r in rows:
         text = extract_text_bytes(r["html"])
-        spans = [(t["start"], t["end"]) for t in extract_triples(text)]
+        spans = [(t["start"], t["end"]) for t in extract_triples(text, r["lang"])]
         assert got[r["url"]] == skeletonize_text(text, spans), r["url"]
