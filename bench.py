@@ -59,6 +59,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
+    # round-2 additions (new operators; timed separately, so the round-1
+    # comparable subtotal is still readable from the per-query timings)
+    "range_join_innermost",
+    "text_structure_stats",
+    "content_hash_cache",
 ]
 
 
@@ -112,7 +117,11 @@ def main() -> None:
     rows = corpus.generate_pages(
         KG_PAGES, facts_range=(KG_FACTS_LO, KG_FACTS_HI), synth_entities=KG_SYNTH
     )
-    pages = pages_from_rows(spark, rows).repartition(CPUS * 2).cache()
+    # 4 tasks/core: heavy pages vary 2x in weight (48-96 sentences), so
+    # finer input granularity keeps the last wave from being decided by
+    # one straggler task — the same reasoning as shuffle-partition sizing
+    # at cluster scale.
+    pages = pages_from_rows(spark, rows).repartition(CPUS * 4).cache()
     pages.count()  # materialize input out of the timed region
 
     # Steady-state warmup: run the FULL pipeline once on a 64-page slice

@@ -99,9 +99,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
       WHERE len(w) >= 3
     ), sh AS (
-      SELECT * FROM sh0 WHERE shingle IN (
+      SELECT * FROM sh0 WHERE shingle NOT IN (
         SELECT shingle FROM sh0 GROUP BY shingle
-        HAVING COUNT(*) <= {MAX_SHINGLE_DF})
+        HAVING COUNT(*) > {MAX_SHINGLE_DF})
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -130,13 +130,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(F.split("text", " ")) >= NGRAM_N)
         .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
     )
-    rare = (
+    # guard as a BROADCAST anti-join against the frequent set (near-empty
+    # by construction — stopword shingles are rare kinds even when their
+    # row count is huge), so the full shingle table is never re-shuffled
+    frequent = (
         sh0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .filter(F.col("_df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    sh = sh0.join(rare, "shingle", "left_semi")
+    sh = sh0.join(F.broadcast(frequent), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -278,6 +278,29 @@ def kg_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kg_mention_edges", oracle=None)
+def kg_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 analog (blarify tree_sitter_helper.py:50-63 + rule map
+    python_definitions.py:61-76): classify page->entity mention edges by
+    a broadcast context-rule join, default MENTIONS (the USES analog).
+    Output: per-type edge counts."""
+    from blarify_spark.plans.extract import mentions_from
+    from blarify_spark.plans.linking import classify_mention_edges
+
+    kg = _kg(spark)
+    edges = classify_mention_edges(
+        mentions_from(kg["pages"]), kg["linked_mentions"]
+    )
+    return (
+        edges.groupBy("rel_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("dst_entity").alias("n_entities"),
+        )
+        .orderBy("rel_type")
+    )
+
+
 @register("kg_dependency_ready", oracle=None)
 def kg_dependency_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 analog: bottom-up readiness — entities all of whose outgoing

@@ -70,6 +70,7 @@ _ROWS_ONLY_PRIORITY = [
     "kg_gc_fixpoint",
     "kg_folder_leaves",
     "kg_lookup_name_type",
+    "kg_mention_edges",
     "kg_diff_moved_pages",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -59,6 +59,65 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_structure_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        list_transform(
+          list_filter(string_split(text, '.'), x -> trim(x) <> ''),
+          x -> len(list_filter(string_split(trim(x), ' '), y -> y <> ''))
+        ) AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_sentences,
+           list_max(toks) AS max_toks, list_min(toks) AS min_toks,
+           ROUND(list_sum(toks) * 1.0 / len(toks), 6) AS avg_toks,
+           ROUND(sqrt(
+             list_sum(list_transform(toks, v -> v * v)) * 1.0 / len(toks)
+             - (list_sum(toks) * 1.0 / len(toks))
+               * (list_sum(toks) * 1.0 / len(toks))
+           ), 6) AS sd_toks
+    FROM s WHERE len(toks) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 analog (blarify stats/complexity.py:22-80 nesting-depth
+    max/min/mean/sd per definition): per-document sentence-structure
+    stats — max/min/avg/sd of per-sentence token counts, computed from
+    exact integer sums so Spark and DuckDB agree bit-for-bit."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sents = F.filter(
+        F.split("text", r"\."), lambda x: F.length(F.trim(x)) > 0
+    )
+    toks = F.transform(
+        sents,
+        lambda x: F.size(
+            F.filter(F.split(F.trim(x), " "), lambda y: F.length(y) > 0)
+        ),
+    )
+    d = t["documents"].select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks").cast("long")
+    sm = F.aggregate("toks", F.lit(0).cast("long"), lambda a, v: a + v)
+    sq = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, v: a + v.cast("long") * v
+    )
+    mean = sm * F.lit(1.0) / n
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_sentences"),
+        F.array_max("toks").alias("max_toks"),
+        F.array_min("toks").alias("min_toks"),
+        F.round(mean, 6).alias("avg_toks"),
+        F.round(
+            F.sqrt(sq * F.lit(1.0) / n - mean * mean), 6
+        ).alias("sd_toks"),
+    ).orderBy("doc_id")
+
+
+@register(
     "content_hash_cache",
     oracle="""
     WITH h AS (

