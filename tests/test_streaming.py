@@ -47,6 +47,61 @@ def test_streaming_incremental_exactly_once(spark, tmp_path):
     assert n2 == batch_n
 
 
+def test_stateful_sessionize_state_survives_across_batches(spark, tmp_path):
+    """applyInPandasWithState: open sessions live in the state store
+    across separate availableNow runs (separate micro-batch executions
+    sharing one checkpoint); a later batch's events close them."""
+    from datetime import datetime, timedelta
+
+    from blarify_spark.sources.pages import PAGES_SCHEMA
+    from blarify_spark.streaming.pipeline import stream_pages
+    from blarify_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+
+    def _pages(specs):
+        rows = [
+            (f"https://{h}/p{i}", t0 + timedelta(minutes=m), None, "x", "en", "t")
+            for i, (h, m) in enumerate(specs)
+        ]
+        return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    def _run():
+        q = (
+            sessionize_stream(stream_pages(spark, src))
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: host a gets 3 pages in minutes 0-2 (one open session);
+    # host b gets 1 page at minute 5
+    _pages([("a.test", 0), ("a.test", 1), ("a.test", 2), ("b.test", 5)]).write.mode(
+        "append"
+    ).parquet(src)
+    _run()
+    assert spark.read.parquet(out).count() == 0  # nothing closed yet
+
+    # batch 2: 60 minutes later both hosts return -> both old sessions
+    # close (state recovered from the checkpointed state store)
+    _pages([("a.test", 62), ("b.test", 65)]).write.mode("append").parquet(src)
+    _run()
+    got = {
+        r["host"]: (r["session_start"], r["session_end"], r["n_pages"])
+        for r in spark.read.parquet(out).collect()
+    }
+    epoch = int(t0.timestamp())
+    assert got["a.test"] == (epoch, epoch + 120, 3)
+    assert got["b.test"] == (epoch + 300, epoch + 300, 1)
+
+
 def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "src2")
     pages_from_rows(spark, corpus.generate_pages(32)).write.mode(
