@@ -67,6 +67,29 @@ HEADLINE = [
 ]
 
 
+def _scaling_evidence() -> dict | None:
+    """Latest N-vs-4N measurement (scale_bench.py writes/maintains
+    SCALING_EVIDENCE.json; summarized here so the per-round BENCH artifact
+    carries the north-rule evidence inline)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_EVIDENCE.json"
+    )
+    try:
+        with open(path) as fh:
+            ev = json.load(fh)
+        return {
+            "efficiencies": [r["eff"] for r in ev["runs"]],
+            "arms": ev["arms"],
+            "steal_pct_max": max(
+                max(r["steal_pct_n"], r["steal_pct_4n"]) for r in ev["runs"]
+            ),
+            "pass_north_rule": all(r["eff"] >= 0.8 for r in ev["runs"]),
+            "measured": ev["measured"],
+        }
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def main() -> None:
     from blarify_spark.session import get_spark
     from blarify_spark.operators.registry import all_queries
@@ -177,6 +200,7 @@ def main() -> None:
                 "kg_edges": n_edges,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "kg_steal_pct": kg_steal_pct,
+                "scaling_evidence": _scaling_evidence(),
             }
         )
     )

@@ -83,6 +83,15 @@ def main() -> None:
     tp_lo = lo["kg_triples_per_sec"]
     tp_hi = hi["kg_triples_per_sec"]
     eff = (tp_hi / tp_lo) / 4
+    _record_evidence(
+        {
+            "eff": round(eff, 3),
+            "throughput_n": tp_lo,
+            "throughput_4n": tp_hi,
+            "steal_pct_n": lo.get("kg_steal_pct"),
+            "steal_pct_4n": hi.get("kg_steal_pct"),
+        }
+    )
     print(
         json.dumps(
             {
@@ -103,6 +112,35 @@ def main() -> None:
             }
         )
     )
+
+
+def _record_evidence(run: dict) -> None:
+    """Keep the last 3 runs in SCALING_EVIDENCE.json (the artifact
+    bench.py summarizes into the per-round BENCH JSON)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_EVIDENCE.json"
+    )
+    try:
+        with open(path) as fh:
+            ev = json.load(fh)
+    except (OSError, ValueError):
+        ev = {
+            "metric": "scaling_efficiency",
+            "north_rule": ">=0.8 from N to 4N parallelism",
+            "runs": [],
+        }
+    ev["arms"] = {"n": f"local[{N}]", "4n": f"local[{4 * N}]"}
+    ev["runs"] = (ev.get("runs", []) + [run])[-3:]
+    ev["consecutive_passes"] = sum(1 for r in ev["runs"] if r["eff"] >= 0.8)
+    ev["kg_pages"] = int(PAGES)
+    ev["kg_facts"] = [int(FACTS_LO), int(FACTS_HI)]
+    import datetime
+
+    ev["measured"] = datetime.date.today().isoformat()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ev, fh, indent=1)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":

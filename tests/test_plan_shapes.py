@@ -65,6 +65,23 @@ def test_khop_seeds_from_entry_points_only(spark):
     assert n_roots <= n_entry
 
 
+def test_innermost_range_join_pushes_key_filter_to_scan(spark):
+    from blarify_spark.operators.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()["range_join_innermost"](spark, SF_DIR)
+    plan = _plan(df)
+    # the l_orderkey < 200 bound must reach both parquet scans, and each
+    # scan may read only the columns its side needs (column pruning)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) >= 2, plan[:400]
+    allowed = {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+    for cols in scans:
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names <= allowed, names
+    assert plan.count("l_orderkey") and "< 200" in plan
+
+
 def test_linking_uses_broadcast_alias_join(spark):
     from blarify_spark import corpus
     from blarify_spark.plans.extract import extract_all_stage, mentions_from
