@@ -99,5 +99,11 @@ def test_query_matches_oracle(spark, duck_con, name):
 )
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR_MEDIUM)
-    assert df.count() >= 0
     assert df.columns
+    # replicate the driver's canonicalization: collect to pandas and
+    # sort by every column — this is what crashed round 1 on array-typed
+    # result columns (pandas cannot hash list cells), so every registered
+    # query must survive it, not just return rows
+    pdf = df.toPandas()
+    if len(pdf):
+        pdf.sort_values(by=list(pdf.columns))
