@@ -150,6 +150,109 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized_payload", T.BinaryType(), True),
+        T.StructField("resized_bytes", T.LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Resize step (STUB codec, real plumbing): mapInPandas 1:1 transform
+    emitting a resized payload per image. The stub derives deterministic
+    "resized" bytes from the content hash; a production swap-in calls
+    PIL.Image.resize with the identical batch iteration and schema."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
+                    out.append((mid, kind, None, None, None, None))
+                    continue
+                # stub: fake (target_w x target_h) grayscale buffer seeded
+                # by the content digest — size-correct, deterministic
+                seed = hashlib.md5(payload).digest()
+                buf = (seed * ((target_w * target_h) // len(seed) + 1))[
+                    : target_w * target_h
+                ]
+                out.append((mid, kind, target_w, target_h, buf, len(buf)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "resized_payload",
+                    "resized_bytes",
+                ],
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, fps_ms: int = 1000) -> DataFrame:
+    """Frame-sampling step (STUB codec, real plumbing): a row-EXPLODING
+    mapInPandas — one input video emits one row per sampled frame, the
+    batch shape a real libav-backed sampler would produce. Frame count and
+    hashes are derived deterministically from the payload digest."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                digest = hashlib.md5(payload).digest()
+                n_frames = 1 + digest[2] % 32  # matches _decode_stub
+                for i in range(n_frames):
+                    fh = hashlib.md5(digest + i.to_bytes(4, "big")).hexdigest()
+                    out.append((mid, i, i * fps_ms, fh))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "frame_ts_ms", "frame_hash"],
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stats per video (stub codec, real exploding
+    mapInPandas plumbing): frame counts + span from the sampled rows."""
+    frames = sample_frames(synth_media(spark))
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_ts_ms"),
+            F.min("frame_hash").alias("min_frame_hash"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @register("multimodal_decode_features", oracle=None)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded media features (stubbed codec, real plumbing).

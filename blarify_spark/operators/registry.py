@@ -72,6 +72,7 @@ _ROWS_ONLY_PRIORITY = [
     "kg_lookup_name_type",
     "kg_mention_edges",
     "kg_diff_moved_pages",
+    "multimodal_frame_sample",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",

@@ -59,6 +59,59 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(text) - 4),
+                       i -> md5(substr(text, i, 5))) AS hs
+      FROM documents WHERE length(text) >= 8
+    ), w AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                                     j -> list_min(hs[j:j+3]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp
+    FROM w ORDER BY doc_id
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by rolling-hash winnowing (the MOSS
+    scheme): hash every char-5-gram, slide a window of 4 hashes, keep the
+    window minimum — the distinct minima are the document's fingerprints.
+    Guarantees any shared substring of length >= 8 yields a shared
+    fingerprint. md5 as the gram hash keeps Spark and DuckDB bit-equal
+    (engine hashes like xxhash64 are not portable)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    text = F.col("text")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length(text) - 4),
+        lambda i: F.md5(text.substr(i, F.lit(5))),
+    )
+    d = (
+        t["documents"]
+        .filter(F.length("text") >= 8)
+        .select("doc_id", hs.alias("hs"))
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - 3),
+            lambda j: F.array_min(F.slice("hs", j, 4)),
+        )
+    )
+    return (
+        d.select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_structure_stats",
     oracle="""
     WITH s AS (

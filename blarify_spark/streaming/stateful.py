@@ -58,13 +58,20 @@ def _sessionize_host(
     ts_all: list[int] = []
     for pdf in pdfs:
         ts_all.extend(int(v) for v in pdf["ts_sec"])
+    # events can arrive out of event-time order ACROSS micro-batches (the
+    # file source triggers in file order, not event order), so the open
+    # session keeps (min, max) bounds: a late event inside/behind the open
+    # window merges (possibly extending the start backwards); only an
+    # event beyond end+gap closes it
     for ts in sorted(ts_all):
         if last_ts is not None and ts - last_ts > SESSION_GAP_SEC:
             closed.append((host, sess_start, last_ts, n_pages))
-            sess_start, n_pages = ts, 0
+            sess_start, last_ts, n_pages = None, None, 0
         if sess_start is None:
-            sess_start = ts
-        last_ts = ts
+            sess_start, last_ts = ts, ts
+        else:
+            sess_start = min(sess_start, ts)
+            last_ts = max(last_ts, ts)
         n_pages += 1
 
     state.update((sess_start, last_ts, n_pages))

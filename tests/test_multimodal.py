@@ -4,7 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from blarify_spark.operators.multimodal import decode_media, synth_media
+from blarify_spark.operators.multimodal import (
+    decode_media,
+    resize_media,
+    sample_frames,
+    synth_media,
+)
 
 
 def test_decode_schema_and_counts(spark):
@@ -42,6 +47,45 @@ def test_decode_deterministic_under_repartition(spark):
         )
     )
     assert a == b
+
+
+def test_resize_emits_size_correct_buffers_for_images_only(spark):
+    media = synth_media(spark, 99).cache()
+    rs = resize_media(media, target_w=32, target_h=16).cache()
+    assert rs.count() == 99  # 1:1 transform
+    imgs = rs.filter(
+        (F.col("kind") == "image") & F.col("resized_payload").isNotNull()
+    )
+    assert imgs.count() > 0
+    assert imgs.filter(F.col("resized_bytes") != 32 * 16).count() == 0
+    non_img = rs.filter(F.col("kind") != "image")
+    assert non_img.filter(F.col("resized_payload").isNotNull()).count() == 0
+
+
+def test_frame_sampling_explodes_and_matches_decode_counts(spark):
+    media = synth_media(spark, 99).cache()
+    frames = sample_frames(media).cache()
+    per_video = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    decoded = {
+        r["media_id"]: r["n_frames"]
+        for r in decode_media(media)
+        .filter((F.col("kind") == "video") & F.col("decode_ok"))
+        .collect()
+    }
+    assert per_video == decoded  # sampler agrees with the decode metadata
+    # frame indexes are dense 0..n-1 with monotone timestamps
+    sample = frames.filter(
+        F.col("media_id") == sorted(per_video)[0]
+    ).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in sample] == list(range(len(sample)))
+    assert all(
+        r["frame_ts_ms"] == r["frame_idx"] * 1000 for r in sample
+    )
 
 
 def test_image_kind_has_single_frame(spark):

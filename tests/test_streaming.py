@@ -67,7 +67,8 @@ def test_stateful_sessionize_state_survives_across_batches(spark, tmp_path):
             (f"https://{h}/p{i}", t0 + timedelta(minutes=m), None, "x", "en", "t")
             for i, (h, m) in enumerate(specs)
         ]
-        return spark.createDataFrame(rows, PAGES_SCHEMA)
+        # one file per batch -> one deterministic micro-batch per run
+        return spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1)
 
     def _run():
         q = (
@@ -100,6 +101,53 @@ def test_stateful_sessionize_state_survives_across_batches(spark, tmp_path):
     epoch = int(t0.timestamp())
     assert got["a.test"] == (epoch, epoch + 120, 3)
     assert got["b.test"] == (epoch + 300, epoch + 300, 1)
+
+
+def test_stateful_sessionize_merges_out_of_order_batches(spark, tmp_path):
+    """Late events arriving in a LATER micro-batch but earlier in event
+    time merge into the open session (extending its start) instead of
+    corrupting it."""
+    from datetime import datetime, timedelta
+
+    from blarify_spark.sources.pages import PAGES_SCHEMA
+    from blarify_spark.streaming.pipeline import stream_pages
+    from blarify_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src4")
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+
+    def _write(minutes):
+        rows = [
+            (f"https://c.test/p{m}", t0 + timedelta(minutes=m), None, "x", "en", "t")
+            for m in minutes
+        ]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _run():
+        q = (
+            sessionize_stream(stream_pages(spark, src))
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write([2])  # newest event first
+    _run()
+    _write([0, 1])  # older events arrive late
+    _run()
+    _write([90])  # far beyond the gap: closes the merged session
+    _run()
+    got = [tuple(r) for r in spark.read.parquet(out).collect()]
+    epoch = int(t0.timestamp())
+    assert got == [("c.test", epoch, epoch + 120, 3)]
 
 
 def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
