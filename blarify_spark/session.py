@@ -28,25 +28,37 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     marker = "_blarify_spark_shipped"
     if getattr(sc, marker, False):
         return
+    import hashlib
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources: list[tuple[str, str]] = []
+    digest = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "blarify_spark", os.path.relpath(full, pkg_dir)
+                )
+                sources.append((full, rel))
+                with open(full, "rb") as fh:
+                    digest.update(rel.encode())
+                    digest.update(fh.read())
+    # content-addressed name: a stale cached zip from an earlier code
+    # version can never be shipped (workers would import outdated modules
+    # while the driver plans against the new ones)
     zip_path = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), "blarify_spark_pyfiles.zip"
+        os.environ.get("TMPDIR", "/tmp"),
+        f"blarify_spark_pyfiles_{digest.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(zip_path):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "blarify_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+            for full, rel in sources:
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     setattr(sc, marker, True)
