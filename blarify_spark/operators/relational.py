@@ -151,6 +151,36 @@ def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_linestatus_counts",
+    oracle="""
+    SELECT l_linestatus, l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+        AS total_qty
+    FROM lineitem
+    GROUP BY CUBE(l_linestatus, l_returnflag)
+    ORDER BY l_linestatus NULLS FIRST, l_returnflag NULLS FIRST
+    """,
+)
+def cube_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets lattice (CUBE): every (linestatus, returnflag)
+    margin in one pass — Catalyst expands to grouping sets with map-side
+    partial aggregation per set."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .cube("l_linestatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_money(F.col("l_quantity")).alias("total_qty"),
+        )
+        .orderBy(
+            F.col("l_linestatus").asc_nulls_first(),
+            F.col("l_returnflag").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "pivot_conditional_agg",
     oracle="""
     SELECT l_returnflag,
