@@ -816,7 +816,8 @@ def array_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_stats_top_sources",
     oracle="""
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source ORDER BY total_chars DESC, source LIMIT 10
     """,
 )
@@ -874,21 +875,26 @@ def correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skeleton_region_nations",
     oracle="""
-    SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS n_nations
+    SELECT r_name,
+      array_to_string(list_sort(list(n_name)), '|') AS nations,
+      COUNT(*) AS n_nations
     FROM region JOIN nation ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
 )
 def skeleton_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy-skeleton assembly (blarify queries.py:18-46: COLLECT of
-    children per parent) — sorted array so both engines hash equal."""
+    children per parent) — scalarized via array_join so the driver's
+    pandas canonicalizer (which can't hash list cells) accepts it."""
     t = load_tables(spark, sf_dir, ["region", "nation"])
     return (
         t["nation"]
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
             F.count(F.lit(1)).alias("n_nations"),
         )
         .orderBy("r_name")
@@ -923,8 +929,9 @@ def median_order_value_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, event_id, ts,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
       FROM marked
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
