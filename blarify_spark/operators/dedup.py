@@ -92,7 +92,11 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      -- drop empty tokens exactly like the Spark side's word_ngrams, so
+      -- multi-space / trailing-space documents shingle identically
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+      FROM documents
     ), sh0 AS (
       SELECT DISTINCT doc_id,
              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -125,10 +129,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe — identically in the DuckDB oracle — bounding the self-join
     at df^2 per shingle instead of corpus^2."""
     t = load_tables(spark, sf_dir, ["documents"])
+    nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    # localCheckpoint: sh0 feeds the frequent-shingle aggregate AND (via
+    # the anti-join) sizes + both sides of the pair self-join — without it
+    # the corpus is re-scanned and re-shingled up to 4x (the round-2 perf
+    # regression)
     sh0 = (
         t["documents"]
-        .filter(F.size(F.split("text", " ")) >= NGRAM_N)
+        .filter(F.size(nonempty) >= NGRAM_N)
         .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
+        .transform(cut_lineage)
     )
     # guard as a BROADCAST anti-join against the frequent set (near-empty
     # by construction — stopword shingles are rare kinds even when their
@@ -190,9 +200,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the (doc_id, shingles) projection is read three
     # times (band build + the two verify-side joins) — materialize it once
     # instead of re-scanning and re-shingling the corpus per consumer
+    nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     docs = (
         t["documents"]
-        .filter(F.size(F.split("text", " ")) >= NGRAM_N)
+        .filter(F.size(nonempty) >= NGRAM_N)
         .select("doc_id", word_ngrams(F.col("text")).alias("shingles"))
         .transform(cut_lineage)
     )

@@ -83,3 +83,50 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     overlap = len(set(brute) & set(approx))
     # multiprobe LSH at this tiny dim/scale: expect meaningful recall
     assert overlap >= 3, f"recall too low: {overlap}/10 ({approx} vs {brute})"
+
+
+def test_ngram_jaccard_parity_on_irregular_whitespace(spark, tmp_path):
+    """Round-2 latent risk: Spark shingles filtered empty tokens while the
+    DuckDB oracle shingled raw string_split (including empties) — green
+    only because the testdata is single-spaced. Pin parity on documents
+    with doubled/leading/trailing spaces."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        ("d1", base, "s1", len(base)),
+        ("d2", base.replace(" ", "  "), "s1", len(base) + 7),  # doubled
+        ("d3", "  " + base + "  ", "s1", len(base) + 4),  # lead/trail
+        ("d4", base + " iota", "s1", len(base) + 5),  # near-dup
+        ("d5", "one  two", "s2", 8),  # <3 tokens after filtering
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (a, b): j
+        for a, b, j in con.execute(
+            oracle_sql()["dedup_ngram_jaccard"]
+        ).fetchall()
+    }
+    con.close()
+    # whitespace-only variants are identical shingle sets -> jaccard 1.0
+    assert got[("d1", "d2")] == 1.0 and got[("d1", "d3")] == 1.0
+    assert set(got) == set(want)
+    for pair in got:
+        assert abs(got[pair] - want[pair]) < 1e-9, pair
