@@ -81,9 +81,12 @@ def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
     deleted = base.filter(F.col("change") == "DELETED").select(
         F.col("url").alias("old_url"), F.col("o_rel").alias("rel"), "old_hash"
     )
-    # deterministic 1:1: if several deleted urls share a relative id, pick
-    # the min old_url per new url (and vice versa is impossible after this
-    # min_by since each new url yields one row)
+    # deterministic 1:1 in BOTH directions: first pick the min old_url per
+    # new url, then (the reverse collision, ADVICE r02) the min new url
+    # per old_url — several ADDED urls sharing a relative id could each
+    # claim the SAME deleted page, labeling genuinely-new pages MOVED with
+    # a bogus old_url. Losers of the second pass fall back to ADDED via
+    # the consumed anti-join below.
     moved = (
         added.join(deleted, "rel")
         .groupBy("url")
@@ -92,12 +95,16 @@ def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
                 F.struct("old_url", "old_hash", "new_hash"), F.col("old_url")
             ).alias("b")
         )
+        .groupBy(F.col("b.old_url").alias("old_url"))
+        .agg(F.min_by(F.struct("url", "b"), F.col("url")).alias("w"))
         .select(
-            "url",
-            F.when(F.col("b.new_hash") == F.col("b.old_hash"), F.lit("MOVED"))
+            F.col("w.url").alias("url"),
+            F.when(
+                F.col("w.b.new_hash") == F.col("w.b.old_hash"), F.lit("MOVED")
+            )
             .otherwise(F.lit("MODIFIED"))
             .alias("change"),
-            F.col("b.old_url").alias("old_url"),
+            "old_url",
         )
     )
     consumed = moved.select("url").unionAll(

@@ -58,6 +58,24 @@ def gc_empty_containers(
             empty.withColumnRenamed("node_id", "dst"), "dst", "left_anti"
         ).transform(cut_lineage)
         deleted = deleted.unionByName(empty.withColumn("round", F.lit(rnd)))
+    else:
+        # loop exhausted max_rounds with a non-empty frontier still
+        # possible — a deeper-than-budget hierarchy would silently leave
+        # empty containers alive (ADVICE r02): fail loudly
+        leftover = (
+            alive.filter(F.col("kind") == "container")
+            .join(
+                e.select(F.col("src").alias("node_id")).distinct(),
+                "node_id",
+                "left_anti",
+            )
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                f"gc_empty_containers: {leftover} empty containers remain "
+                f"after {max_rounds} rounds — raise max_rounds"
+            )
     return alive, deleted
 
 

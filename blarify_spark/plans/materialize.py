@@ -248,6 +248,16 @@ def upsert_parquet(
     whole function is one `MERGE INTO` statement; the caller contract
     (idempotent re-application) is identical.
     """
+    import shutil
+
+    old = path + ".__old__"
+    # crash recovery: a previous upsert can die between rename(path, old)
+    # and rename(tmp, path), leaving the live path absent while `old`
+    # holds the ONLY copy of the table. Restore it before reading —
+    # rmtree'ing it here (as a "stray") would silently drop every prior
+    # row on the recovery run.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         keep = existing.join(
@@ -257,14 +267,11 @@ def upsert_parquet(
     else:
         merged = new_rows
     # stage to a tmp dir, rename the live table ASIDE, then rename staging
-    # into place — the table path is never absent between two renames (a
-    # crash leaves either the old table or the new one readable; the only
-    # cleanup needed is deleting a stray .__old__ dir), unlike
-    # rmtree-then-rename which has a window where the table is missing
-    import shutil
-
+    # into place. A crash in the tiny window between the two renames leaves
+    # the live path absent but `old` intact — the entry guard above
+    # restores it on the next run, so no state loses data: either the old
+    # table or the new one is always recoverable.
     tmp = path + ".__staging__"
-    old = path + ".__old__"
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)  # stray dir from a prior crash
     if os.path.exists(path):

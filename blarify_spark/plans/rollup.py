@@ -145,6 +145,18 @@ def bottom_up_rollup(
             F.lit(forced).alias("forced"),
         )
         done = done.unionByName(new).transform(cut_lineage)
+    else:
+        # the loop exhausted max_rounds without draining the frontier:
+        # a hierarchy deeper than max_rounds (or repeated cycle-breaks)
+        # would otherwise silently return a `done` set missing nodes
+        # (ADVICE r02) — fail loudly instead
+        n_left = base.join(done.select("node_id"), "node_id", "left_anti").count()
+        if n_left:
+            raise RuntimeError(
+                f"bottom_up_rollup: {n_left} nodes still pending after "
+                f"{max_rounds} rounds — raise max_rounds (hierarchy deeper "
+                f"than the round budget)"
+            )
     return done
 
 

@@ -48,33 +48,40 @@ def _sessionize_host(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     host = key[0]
-    if state.exists:
-        sess_start, last_ts, n_pages = state.get
-    else:
-        sess_start = last_ts = None
-        n_pages = 0
-
-    closed: list[tuple[Any, ...]] = []
     ts_all: list[int] = []
     for pdf in pdfs:
         ts_all.extend(int(v) for v in pdf["ts_sec"])
-    # events can arrive out of event-time order ACROSS micro-batches (the
-    # file source triggers in file order, not event order), so the open
-    # session keeps (min, max) bounds: a late event inside/behind the open
-    # window merges (possibly extending the start backwards); only an
-    # event beyond end+gap closes it
-    for ts in sorted(ts_all):
-        if last_ts is not None and ts - last_ts > SESSION_GAP_SEC:
-            closed.append((host, sess_start, last_ts, n_pages))
-            sess_start, last_ts, n_pages = None, None, 0
-        if sess_start is None:
-            sess_start, last_ts = ts, ts
-        else:
-            sess_start = min(sess_start, ts)
-            last_ts = max(last_ts, ts)
-        n_pages += 1
 
-    state.update((sess_start, last_ts, n_pages))
+    # events can arrive out of event-time order ACROSS micro-batches (the
+    # file source triggers in file order, not event order). Treat the open
+    # state session and each new event as intervals and sweep-merge any
+    # two within SESSION_GAP_SEC of each other. A late event more than a
+    # gap BEFORE the open session's start therefore forms its own earlier
+    # session instead of merging backwards (ADVICE r02: open [3600,3600] +
+    # late ts=0 must NOT become one session [0,3600]); everything but the
+    # latest interval is closed and emitted.
+    atoms: list[list[int]] = [[ts, ts, 1] for ts in sorted(ts_all)]
+    if state.exists:
+        sess_start, last_ts, n_pages = state.get
+        atoms.append([sess_start, last_ts, n_pages])
+        atoms.sort(key=lambda a: (a[0], a[1]))
+
+    if not atoms:  # no events and no prior state: nothing to do
+        return
+
+    merged: list[list[int]] = []
+    for start, end, n in atoms:
+        if merged and start - merged[-1][1] <= SESSION_GAP_SEC:
+            merged[-1][1] = max(merged[-1][1], end)
+            merged[-1][2] += n
+        else:
+            merged.append([start, end, n])
+
+    closed: list[tuple[Any, ...]] = [
+        (host, s, e, n) for s, e, n in merged[:-1]
+    ]
+    open_start, open_end, open_n = merged[-1]
+    state.update((open_start, open_end, open_n))
     if closed:
         yield pd.DataFrame(
             closed, columns=["host", "session_start", "session_end", "n_pages"]

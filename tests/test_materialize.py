@@ -181,3 +181,54 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     # idempotent re-application
     out2 = upsert_parquet(spark, delta, path, ["k"])
     assert dict((r["k"], r["v"]) for r in out2.collect()) == got
+
+
+def test_upsert_parquet_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Crash window between rename(path, old) and rename(tmp, path): the
+    live path is absent and `.__old__` holds the only copy. The next
+    upsert must restore it, not rmtree it (ADVICE r02: silent loss of
+    all prior rows on recovery)."""
+    import os
+
+    from blarify_spark.plans.materialize import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    upsert_parquet(spark, base, path, ["k"])
+    # simulate the crash: table renamed aside, staging never landed
+    os.rename(path, path + ".__old__")
+    delta = spark.createDataFrame([("b", 20), ("c", 3)], ["k", "v"])
+    out = upsert_parquet(spark, delta, path, ["k"])
+    got = dict((r["k"], r["v"]) for r in out.collect())
+    assert got == {"a": 1, "b": 20, "c": 3}  # 'a' survived the recovery
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_classify_pages_moved_reverse_collision(spark):
+    """Two ADDED urls sharing one relative_id must not BOTH claim the
+    single deleted page (ADVICE r02): exactly one MOVED row per deleted
+    old_url; the losing new url stays ADDED."""
+    import datetime
+
+    mk = lambda url, text: {
+        "url": url,
+        "warc_ts": datetime.datetime(2025, 1, 1),
+        "html": None,
+        "text": text,
+        "lang": "en",
+    }
+    old = pages_from_rows(spark, [mk("https://a.test/page/x", "same text")])
+    new = pages_from_rows(
+        spark,
+        [
+            mk("https://b.test/page/x", "same text"),  # min url -> wins
+            mk("https://c.test/page/x", "same text"),  # loser -> ADDED
+        ],
+    )
+    changes = {r["url"]: r for r in classify_pages(old, new).collect()}
+    assert changes["https://b.test/page/x"]["change"] == "MOVED"
+    assert changes["https://b.test/page/x"]["old_url"] == "https://a.test/page/x"
+    assert changes["https://c.test/page/x"]["change"] == "ADDED"
+    assert changes["https://c.test/page/x"]["old_url"] is None
+    # the deleted page is claimed exactly once -> no DELETED residue
+    assert "https://a.test/page/x" not in changes

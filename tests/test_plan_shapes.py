@@ -30,22 +30,76 @@ def test_workflow_paths_windows_are_partitioned_by_root(spark):
         assert spec.split("#")[0].strip().startswith("root"), spec
 
 
+def _split_top_level_brackets(s: str) -> list[str]:
+    """Top-level [..] groups of a logical-plan node line."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return groups
+
+
 def test_paginated_triples_has_no_full_table_global_window(spark):
+    """Two-phase pagination gate (un-vacuous per ADVICE r02): every
+    unpartitioned window in the logical plan must sit directly above the
+    per-url COUNT aggregate (one row per url) with no Generate/explode
+    (the full triple expansion) in between — a regression reintroducing
+    a global row_number over the triple table fails here."""
     from blarify_spark.operators.registry import all_queries
 
     df = all_queries()["kg_paginated_triples"](spark, "unused")
-    plan = _plan(df)
-    specs = _window_specs(plan)
-    # the per-row ranking window must be partitioned by url; the only
-    # unpartitioned window may be the offsets window over the per-url
-    # COUNT table (one row per url, not per triple)
-    row_windows = [s for s in specs if s.split("#")[0].strip().startswith("url")]
-    assert row_windows, f"expected a url-partitioned ranking window: {specs}"
-    unpartitioned = [s for s in specs if s.lstrip().startswith("url") is False]
-    # any remaining window must sit above an Aggregate (count per url);
-    # cheap structural proxy: the plan aggregates by url before sorting
-    if unpartitioned:
-        assert "count(1)" in plan or "count(" in plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    found_partitioned = found_offsets = False
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        # logical Window prints [exprs], [partitionSpec], [orderSpec];
+        # with no partition columns the partition group is absent (2
+        # groups, the second being the order spec with ASC/DESC)
+        groups = _split_top_level_brackets(line[line.index("Window [") :])
+        partitioned = len(groups) >= 3 and groups[1].strip() != ""
+        if partitioned:
+            assert groups[1].split("#")[0].strip() == "url", line
+            found_partitioned = True
+            continue
+        # unpartitioned: walk its subtree until the first Aggregate;
+        # it must be keyed by url, and nothing in between may explode
+        base_indent = indent(line)
+        subtree_ok = False
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and indent(nxt) <= base_indent and "Window" not in nxt:
+                break
+            assert "Generate" not in nxt, (
+                f"explode between global window and aggregate: {nxt}"
+            )
+            if "Aggregate [" in nxt:
+                keys = _split_top_level_brackets(
+                    nxt[nxt.index("Aggregate [") :]
+                )[0]
+                assert keys.split("#")[0].strip() == "url", nxt
+                subtree_ok = True
+                break
+        assert subtree_ok, f"global window not above a per-url aggregate: {line}"
+        found_offsets = True
+    assert found_partitioned, "expected a url-partitioned ranking window"
+    assert found_offsets, "expected the offsets window over per-url counts"
 
 
 def test_khop_seeds_from_entry_points_only(spark):

@@ -107,3 +107,37 @@ def test_gc_keeps_containers_with_leaves_and_never_deletes_leaves(spark):
     alive, deleted = _gc(spark, nodes, edges)
     assert alive == ["full", "leaf", "root"]
     assert deleted == {"empty": 1}
+
+
+def test_rollup_raises_when_round_budget_too_small(spark):
+    """ADVICE r02: a hierarchy deeper than max_rounds must raise, not
+    silently return a done-set missing the upper nodes."""
+    import pytest
+
+    names = ["n0", "n1", "n2", "n3", "n4"]
+    chain = [(f"n{i}", f"n{i+1}") for i in range(4)]  # depth 5
+    nodes, e = _graph(spark, names, chain)
+    with pytest.raises(RuntimeError, match="still pending"):
+        bottom_up_rollup(nodes, e, count_combine, max_rounds=3)
+    # enough rounds: every node present
+    got = bottom_up_rollup(nodes, e, count_combine, max_rounds=5).collect()
+    assert len(got) == 5
+
+
+def test_gc_raises_when_round_budget_too_small(spark):
+    """Same guard on the GC loop: empty containers left alive by an
+    exhausted round budget must raise."""
+    import pytest
+
+    names = ["c0", "c1", "c2", "c3"]
+    nodes = spark.createDataFrame(
+        [(n, "container", n) for n in names],
+        "node_id string, kind string, name string",
+    )
+    e = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(3)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="empty containers remain"):
+        gc_empty_containers(nodes, e, max_rounds=2)
+    alive, deleted = gc_empty_containers(nodes, e, max_rounds=4)
+    assert alive.count() == 0 and deleted.count() == 4

@@ -179,3 +179,53 @@ def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
         extract_text_stage(pages_from_rows(spark, rows))
     ).count()
     assert total == expected
+
+
+def test_stateful_sessionize_far_late_event_is_own_session(spark, tmp_path):
+    """A late event arriving more than a gap BEFORE the open session's
+    start must close as its own earlier session, not merge backwards
+    (ADVICE r02: open [60min] + late ts=0 is two sessions, not one)."""
+    from datetime import datetime, timedelta
+
+    from blarify_spark.sources.pages import PAGES_SCHEMA
+    from blarify_spark.streaming.pipeline import stream_pages
+    from blarify_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "src5")
+    out = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ckpt5")
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+
+    def _write(minutes):
+        rows = [
+            (f"https://d.test/p{m}", t0 + timedelta(minutes=m), None, "x", "en", "t")
+            for m in minutes
+        ]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def _run():
+        q = (
+            sessionize_stream(stream_pages(spark, src))
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write([60])  # open session at minute 60
+    _run()
+    _write([0, 1])  # VERY late pair, > gap before the open start
+    _run()
+    _write([200])  # close everything older
+    _run()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    epoch = int(t0.timestamp())
+    assert got == [
+        ("d.test", epoch, epoch + 60, 2),  # the late pair, own session
+        ("d.test", epoch + 3600, epoch + 3600, 1),  # original open session
+    ]
