@@ -202,7 +202,44 @@ _PRED_I18N: dict[str, dict[str, str]] = {
         "works at": "travaille chez",
         "wrote": "a écrit",
     },
+    "es": {
+        "is located in": "se encuentra en",
+        "was founded by": "fue fundada por",
+        "is the capital of": "es la capital de",
+        "acquired": "adquirió",
+        "invented": "inventó",
+        "discovered": "descubrió",
+        "developed": "desarrolló",
+        "works at": "trabaja en",
+        "wrote": "escribió",
+    },
+    "it": {
+        "is located in": "si trova in",
+        "was founded by": "è stata fondata da",
+        "is the capital of": "è la capitale di",
+        "acquired": "acquisì",
+        "invented": "inventò",
+        "discovered": "scoprì",
+        "developed": "sviluppò",
+        "works at": "lavora presso",
+        "wrote": "scrisse",
+    },
+    "pt": {
+        "is located in": "está localizada em",
+        "was founded by": "foi fundada por",
+        "is the capital of": "é a capital de",
+        "acquired": "adquiriu",
+        "invented": "inventou",
+        "discovered": "descobriu",
+        "developed": "desenvolveu",
+        "works at": "trabalha na",
+        "wrote": "escreveu",
+    },
 }
+# NOTE: _LANGS (the fixture-corpus language mix) intentionally stays
+# en/de/fr — extending it would shift every downstream rng draw and
+# invalidate the byte-exact fixture pins. es/it/pt coverage is exercised
+# directly by tests/test_lang_rules.py's matrix.
 
 
 def _fact_sentence(fact: tuple[str, str, str], lang: str = "en") -> str:

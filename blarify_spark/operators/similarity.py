@@ -141,15 +141,29 @@ def _lsh_table_keys(vec_col, planes: int) -> F.Column:  # noqa: ANN001
     return F.array(*keys)
 
 
+# corpus size per sf_dir, resolved once — the plane count only needs an
+# order-of-magnitude n, so re-running the query must not re-count the
+# table (the count is a parquet-metadata job, but still a job per call)
+_N_VECTORS_CACHE: dict[str, int] = {}
+
+
 @register("ann_lsh_topk", oracle=None)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, n_vectors: int | None = None
+) -> DataFrame:
     """LSH-bucketed approximate top-k: probe only vectors sharing a
     bucket with the query in one of the hash tables (hamming-1 multiprobe
     per table), then exact cosine re-rank. The 10^12-scale path: the
     bucket equi-join replaces the full scan. Recall vs ann_cosine_topk
-    pinned by pytest."""
+    pinned by pytest. Pass n_vectors (or rely on the per-sf_dir cache) to
+    avoid the sizing count job entirely."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    planes = _n_planes(emb.count())
+    if n_vectors is None:
+        n_vectors = _N_VECTORS_CACHE.get(sf_dir)
+        if n_vectors is None:
+            n_vectors = emb.count()  # parquet metadata count, once per dir
+            _N_VECTORS_CACHE[sf_dir] = n_vectors
+    planes = _n_planes(n_vectors)
     with_keys = emb.select(
         "vec_id",
         "label",

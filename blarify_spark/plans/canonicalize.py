@@ -213,33 +213,31 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_rounds):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node_id)
-            .groupBy("src")
-            .agg(F.min("canon_id").alias("nbr_min"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.node_id == neighbor_min.src, "left"
-        ).select(
-            "node_id",
-            F.least(
-                F.col("canon_id"), F.coalesce("nbr_min", F.col("canon_id"))
-            ).alias("canon_id"),
-        )
-        # pointer jumping (path halving): canon := canon(canon) turns the
-        # O(diameter) propagation into O(log n) rounds — long merge chains
-        # (e.g. A~B~C~...~Z suffix-variant runs) converge in a few rounds
-        # instead of ROUNDS_MAX.
-        jump = stepped.select(
-            F.col("node_id").alias("j_node"), F.col("canon_id").alias("j_canon")
+        # FUSED round (round-3): neighbor-min propagation AND pointer
+        # jumping (path halving) in ONE join + ONE aggregation. Union the
+        # similarity edges with per-node pointer edges (v -> canon(v)),
+        # resolve every edge head through the current labels, and take the
+        # min per tail:
+        #   new(v) = min( canon(u) for u in N(v),  canon(canon(v)) )
+        # Labels are monotone non-increasing with canon(x) <= x, so
+        # canon(canon(v)) <= canon(v) covers the self term, and the
+        # pointer edge doubles as the path-halving jump — the separate
+        # least()/left-join and the jump self-join of the round-2 loop
+        # collapse into this single shuffle pair.
+        ptr = labels.select(
+            F.col("node_id").alias("src"), F.col("canon_id").alias("dst")
         )
         new_labels = (
-            stepped.alias("s")
-            .join(jump, F.col("s.canon_id") == F.col("j_node"), "left")
-            .select(
-                "node_id",
-                F.coalesce("j_canon", F.col("s.canon_id")).alias("canon_id"),
+            sym.unionByName(ptr)
+            .join(
+                labels.select(
+                    F.col("node_id").alias("dst"), F.col("canon_id").alias("lab")
+                ),
+                "dst",
             )
+            .groupBy("src")
+            .agg(F.min("lab").alias("canon_id"))
+            .withColumnRenamed("src", "node_id")
             .transform(cut_lineage)
         )
         # convergence check: order-independent signature of the labeling

@@ -86,10 +86,46 @@ PREDICATES_FR: dict[str, str] = {
     "travaille chez": "works_at",
     "a écrit": "wrote",
 }
+PREDICATES_ES: dict[str, str] = {
+    "se encuentra en": "located_in",
+    "fue fundada por": "founded_by",
+    "es la capital de": "capital_of",
+    "adquirió": "acquired",
+    "inventó": "invented",
+    "descubrió": "discovered",
+    "desarrolló": "developed",
+    "trabaja en": "works_at",
+    "escribió": "wrote",
+}
+PREDICATES_IT: dict[str, str] = {
+    "si trova in": "located_in",
+    "è stata fondata da": "founded_by",
+    "è la capitale di": "capital_of",
+    "acquisì": "acquired",
+    "inventò": "invented",
+    "scoprì": "discovered",
+    "sviluppò": "developed",
+    "lavora presso": "works_at",
+    "scrisse": "wrote",
+}
+PREDICATES_PT: dict[str, str] = {
+    "está localizada em": "located_in",
+    "foi fundada por": "founded_by",
+    "é a capital de": "capital_of",
+    "adquiriu": "acquired",
+    "inventou": "invented",
+    "descobriu": "discovered",
+    "desenvolveu": "developed",
+    "trabalha na": "works_at",
+    "escreveu": "wrote",
+}
 LANG_PREDICATES: dict[str, dict[str, str]] = {
     "en": {},
     "de": PREDICATES_DE,
     "fr": PREDICATES_FR,
+    "es": PREDICATES_ES,
+    "it": PREDICATES_IT,
+    "pt": PREDICATES_PT,
 }
 
 # Leading-article strip per language (object normalization).
@@ -97,6 +133,9 @@ LANG_ARTICLES: dict[str, str] = {
     "en": r"the|a|an",
     "de": r"the|a|an|der|die|das|dem|den|ein|eine|einem|einen",
     "fr": r"the|a|an|le|la|les|un|une|l'",
+    "es": r"the|a|an|el|la|los|las|un|una|unos|unas",
+    "it": r"the|a|an|il|lo|la|i|gli|le|un|uno|una|l'",
+    "pt": r"the|a|an|o|os|as|um|uma|uns|umas",
 }
 
 _LEX_CACHE: dict[str, tuple[re.Pattern, dict[str, str], re.Pattern]] = {}

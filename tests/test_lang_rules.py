@@ -92,3 +92,66 @@ def test_corpus_renders_translated_predicates(spark):
         or ("a acquis" in x) or ("est situé à" in x)
         for x in texts
     )
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "lang,sentence,expected",
+    [
+        ("es", "Umbrella Labs se encuentra en Madrid.",
+         ("Umbrella Labs", "located_in", "Madrid")),
+        ("es", "Acme adquirió la Initech.", ("Acme", "acquired", "Initech")),
+        ("it", "Umbrella Labs si trova in Milano.",
+         ("Umbrella Labs", "located_in", "Milano")),
+        ("it", "Acme acquisì la Initech.", ("Acme", "acquired", "Initech")),
+        ("pt", "Umbrella Labs está localizada em Lisboa.",
+         ("Umbrella Labs", "located_in", "Lisboa")),
+        ("pt", "Acme adquiriu a Initech.", ("Acme", "acquired", "Initech")),
+        ("de", "Umbrella Labs liegt in Zürich.",
+         ("Umbrella Labs", "located_in", "Zürich")),
+        ("fr", "Paris est la capitale de la France.",
+         ("Paris", "capital_of", "France")),
+    ],
+)
+def test_language_matrix_dispatch(lang, sentence, expected):
+    """E4 matrix across all 5 non-EN lexicons: in-language predicate
+    fires with the canonical name + article stripped; silent under EN."""
+    assert _spo(sentence, lang) == [expected]
+    assert _spo(sentence, "en") == []
+
+
+@pytest.mark.parametrize("lang", ["es", "it", "pt"])
+def test_new_languages_keep_en_base_active(lang):
+    assert _spo("Hooli acquired Pied Piper.", lang) == [
+        ("Hooli", "acquired", "Pied Piper")
+    ]
+
+
+def test_spark_side_dispatch_new_language(spark):
+    from blarify_spark.plans.extract import extract_all_stage, triples_from
+    from blarify_spark.sources.pages import pages_from_rows
+
+    html = (
+        "<html><body><p>Umbrella Labs se encuentra en Madrid.</p>"
+        "</body></html>"
+    ).encode()
+    rows = [
+        {
+            "url": f"u://{lang}",
+            "warc_ts": None,
+            "html": html,
+            "text": None,
+            "lang": lang,
+            "family": "test",
+        }
+        for lang in ["es", "en"]
+    ]
+    got = {
+        r["url"]: (r["subj"], r["pred"], r["obj"])
+        for r in triples_from(
+            extract_all_stage(pages_from_rows(spark, rows))
+        ).collect()
+    }
+    assert got == {"u://es": ("Umbrella Labs", "located_in", "Madrid")}
