@@ -48,8 +48,56 @@ def _kg(spark: SparkSession) -> dict[str, DataFrame]:
             "triples": ltriples,
             "nodes": nodes.cache(),
             "edges": edges.cache(),
+            "mapping": mapping,
         }
     return _CACHE[key]
+
+
+_CACHE2: dict[int, dict[str, DataFrame]] = {}
+
+
+def _kg_incr(spark: SparkSession) -> dict[str, DataFrame]:
+    """The incremental-snapshot twin of _kg (cached): the fixture corpus
+    after corpus.generate_incremental_snapshot (2 added, 1 deleted, 2
+    modified pages), piped through the same stages, plus the diff
+    products against the base snapshot."""
+    key = id(spark)
+    if key not in _CACHE2:
+        from blarify_spark import corpus
+        from blarify_spark.plans.canonicalize import canonicalize
+        from blarify_spark.plans.diff import classify_pages
+        from blarify_spark.plans.extract import (
+            extract_all_stage,
+            mentions_from,
+            triples_from,
+        )
+        from blarify_spark.plans.linking import link_mentions, link_triples
+        from blarify_spark.plans.recanon import changed_url_set
+        from blarify_spark.sources.alias import alias_dict
+        from blarify_spark.sources.pages import pages_from_rows
+
+        base = _kg(spark)
+        rows = corpus.generate_pages(64)
+        snap2_rows = corpus.generate_incremental_snapshot(rows)
+        pages2 = extract_all_stage(
+            pages_from_rows(spark, snap2_rows)
+        ).cache()
+        linked2 = link_mentions(mentions_from(pages2), alias_dict(spark))
+        t2 = link_triples(triples_from(pages2), linked2).cache()
+        nodes2, edges2, mapping2 = canonicalize(t2)
+        changes = classify_pages(
+            pages_from_rows(spark, rows), pages_from_rows(spark, snap2_rows)
+        )
+        _CACHE2[key] = {
+            "triples": t2,
+            "nodes": nodes2.cache(),
+            "edges": edges2.cache(),
+            "mapping": mapping2,
+            "changes": changes.cache(),
+            "changed_urls": changed_url_set(changes).cache(),
+            "base": base,
+        }
+    return _CACHE2[key]
 
 
 @register("kg_flagship_triples", oracle=None)
@@ -521,6 +569,54 @@ def kg_diff_moved_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("change")
+    )
+
+
+@register("kg_diff_labeled_nodes", oracle=None)
+def kg_diff_labeled_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 completion (round-3): the materialized node table diffed across
+    the incremental snapshot with ADDED | DELETED | MODIFIED | UNCHANGED
+    labels — DELETED rows retained as tombstones, mirroring blarify's
+    deleted-node labeling (project_graph_diff_creator.py:150-179)."""
+    from blarify_spark.plans.recanon import labeled_nodes_diff
+
+    incr = _kg_incr(spark)
+    return labeled_nodes_diff(incr["base"]["nodes"], incr["nodes"]).orderBy(
+        "change", "canon_id"
+    )
+
+
+@register("kg_recanon_affected", oracle=None)
+def kg_recanon_affected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affected-component re-canonicalization (round-3): patch the
+    entity mapping for ONLY the components touched by changed pages
+    (blarify's reverse-dependency closure,
+    project_graph_diff_creator.py:221-271) and return the re-labeled
+    rows. Equality with a full rebuild is pinned by tests/test_recanon.py."""
+    from blarify_spark.plans.recanon import recanonicalize_affected
+
+    incr = _kg_incr(spark)
+    new_mapping = recanonicalize_affected(
+        incr["base"]["triples"],
+        incr["triples"],
+        incr["changed_urls"],
+        incr["base"]["mapping"],
+    )
+    old = incr["base"]["mapping"].select(
+        "node_id", F.col("canon_id").alias("old_canon")
+    )
+    return (
+        new_mapping.join(old, "node_id", "left")
+        .filter(
+            F.col("old_canon").isNull()
+            | (F.col("old_canon") != F.col("canon_id"))
+        )
+        .select(
+            "node_id",
+            F.coalesce("old_canon", F.lit("")).alias("old_canon"),
+            F.col("canon_id").alias("new_canon"),
+        )
+        .orderBy("node_id")
     )
 
 

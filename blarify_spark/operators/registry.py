@@ -61,9 +61,11 @@ def _with_shipping(
 # registration order. Rows-only semantics are pinned by pytest regardless
 # of driver visibility.
 _ROWS_ONLY_PRIORITY = [
-    "kg_child_gather",  # round-1 driver crash, fixed — must re-verify
+    "kg_diff_labeled_nodes",  # new round-3 operators first
+    "kg_recanon_affected",
+    "kg_child_gather",  # round-1 driver crash, fixed round 2 and verified
     "multimodal_decode_features",  # same
-    "kg_hierarchy",  # new round-2 operators next
+    "kg_hierarchy",
     "kg_workflow_bridges",
     "kg_rollup_process",
     "kg_skeletons",

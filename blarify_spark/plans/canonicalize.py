@@ -118,10 +118,19 @@ def _minhash_signature(shingle_col) -> F.Column:  # noqa: ANN001
     return F.array(*sigs)
 
 
-def candidate_pairs(nodes: DataFrame) -> DataFrame:
+def candidate_pairs(
+    nodes: DataFrame, probe_ids: DataFrame | None = None
+) -> DataFrame:
     """LSH-blocked candidate pairs verified by exact Jaccard.
 
     Returns (src, dst) with src < dst, Jaccard >= threshold.
+
+    probe_ids (optional, one column `node_id`): restrict the LEFT side of
+    the bucket self-join to these nodes — the incremental-update probe
+    (plans/recanon.py): only pairs touching a probe node are returned, so
+    the join cost is O(|probe| x bucket) instead of O(n x bucket). At
+    real scale the full band table is the persisted LSH index the probe
+    side joins against.
     """
     prepared = nodes.select(
         "node_id",
@@ -160,7 +169,14 @@ def candidate_pairs(nodes: DataFrame) -> DataFrame:
         "left_semi",
     )
 
-    left = bands.select(
+    left_bands = (
+        bands
+        if probe_ids is None
+        else bands.join(
+            probe_ids.select("node_id").distinct(), "node_id", "left_semi"
+        )
+    )
+    left = left_bands.select(
         F.col("band_key"),
         F.col("node_id").alias("src"),
         F.col("shingles").alias("src_sh"),
@@ -170,12 +186,29 @@ def candidate_pairs(nodes: DataFrame) -> DataFrame:
         F.col("node_id").alias("dst"),
         F.col("shingles").alias("dst_sh"),
     )
-    pairs = (
-        left.join(right, "band_key")
-        .filter(F.col("src") < F.col("dst"))
-        .drop("band_key")
-        .dropDuplicates(["src", "dst"])
-    )
+    if probe_ids is None:
+        pairs = (
+            left.join(right, "band_key")
+            .filter(F.col("src") < F.col("dst"))
+            .drop("band_key")
+            .dropDuplicates(["src", "dst"])
+        )
+    else:
+        # probe side is only one end of each pair, so canonicalize the
+        # orientation AFTER the join instead of filtering src < dst
+        pairs = (
+            left.join(right, "band_key")
+            .filter(F.col("src") != F.col("dst"))
+            .drop("band_key")
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                # jaccard is symmetric; keep shingles in join order
+                "src_sh",
+                "dst_sh",
+            )
+            .dropDuplicates(["src", "dst"])
+        )
     jaccard = F.size(F.array_intersect("src_sh", "dst_sh")) / F.size(
         F.array_union("src_sh", "dst_sh")
     )

@@ -1,0 +1,336 @@
+"""Incremental re-canonicalization + labeled graph diff (round-3).
+
+Blarify's incremental path recomputes changed files PLUS the files that
+reference them (reverse-dependency closure,
+reference: blarify/project_graph_diff_creator.py:221-271) and keeps
+deleted nodes labeled DELETED alongside ADDED/MODIFIED marks
+(project_graph_diff_creator.py:150-179). The web-KG analog:
+
+* a modified page can introduce an alias that MERGES two canonical
+  entity clusters, or remove the only bridge that held one together
+  (SPLIT) — so the canonicalization mapping of every component *touched
+  by* changed pages must be recomputed, but ONLY those components;
+* consumers need to see what changed: nodes/edges diffs carry
+  ADDED | DELETED | MODIFIED | UNCHANGED labels, with DELETED rows kept
+  as tombstones instead of silently dropped.
+
+Correctness argument for the scoped recompute (mapping equality with a
+full rebuild, pinned by tests/test_recanon.py):
+
+1. delta D = entities mentioned on changed urls (old or new snapshot).
+2. LSH probe: all candidate pairs of the NEW corpus touching D
+   (candidate_pairs(new_nodes, probe_ids=D) — the full band table is the
+   persisted LSH index at scale; only D's buckets are joined).
+3. affected components A = old components of D and of D's pair partners.
+4. subgraph S = all current members of A, plus D and the partners.
+   Every new-corpus similarity pair with an endpoint in S has BOTH
+   endpoints in S: a pre-existing pair means same old component; a new
+   pair touches D and its partner is collected in step 2. Hence no edge
+   crosses the S boundary and components split cleanly into "inside S"
+   (recomputed) and "outside S" (provably unchanged, old labels kept).
+5. re-run LSH+CC on S only; patched mapping = keep ∪ sub.
+
+Nodes/edges tables are then PATCHED, not rebuilt: only canons whose
+membership or mention counts could have changed (those of S) are
+re-aggregated, and only edge rows on changed urls or with a re-labeled
+endpoint are re-mapped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.plans.canonicalize import (
+    build_entity_nodes,
+    candidate_pairs,
+    connected_components,
+)
+
+
+def changed_url_set(changes: DataFrame) -> DataFrame:
+    """One `url` column of every url whose content changed in either
+    direction: non-UNCHANGED urls plus the former url of moved pages."""
+    return (
+        changes.filter(F.col("change") != "UNCHANGED")
+        .select("url")
+        .unionAll(
+            changes.filter(F.col("old_url").isNotNull()).select(
+                F.col("old_url").alias("url")
+            )
+        )
+        .distinct()
+    )
+
+
+def _endpoint_ids(triples: DataFrame) -> DataFrame:
+    return (
+        triples.select(F.col("subj_id").alias("node_id"))
+        .unionAll(triples.select(F.col("obj_id").alias("node_id")))
+        .distinct()
+    )
+
+
+def affected_subgraph(
+    old_triples: DataFrame,
+    new_triples: DataFrame,
+    changed_urls: DataFrame,
+    old_mapping: DataFrame,
+    new_nodes: DataFrame,
+) -> DataFrame:
+    """One `node_id` column: the entities whose canonical labels must be
+    recomputed (steps 1-4 of the module-docstring argument). Everything
+    outside this set provably keeps its old label."""
+    # 1. delta entities: mentioned on a changed url in either snapshot
+    delta = (
+        _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
+        .unionAll(
+            _endpoint_ids(new_triples.join(changed_urls, "url", "left_semi"))
+        )
+        .distinct()
+        .transform(cut_lineage)
+    )
+
+    # 2. LSH probe of the new corpus from the delta side only
+    probe_pairs = candidate_pairs(new_nodes, probe_ids=delta).transform(
+        cut_lineage
+    )
+    touched = (
+        delta.unionAll(probe_pairs.select(F.col("src").alias("node_id")))
+        .unionAll(probe_pairs.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+
+    # 3. affected old components
+    affected_canons = (
+        old_mapping.join(touched, "node_id", "left_semi")
+        .select("canon_id")
+        .distinct()
+    )
+
+    # 4. subgraph: current members of affected components + touched nodes
+    return (
+        old_mapping.join(affected_canons, "canon_id", "left_semi")
+        .select("node_id")
+        .unionAll(touched)
+        .distinct()
+        .join(new_nodes, "node_id", "left_semi")  # only nodes that still exist
+        .transform(cut_lineage)
+    )
+
+
+def recanonicalize_affected(
+    old_triples: DataFrame,
+    new_triples: DataFrame,
+    changed_urls: DataFrame,
+    old_mapping: DataFrame,
+) -> DataFrame:
+    """Patched node_id -> canon_id mapping, equal to a full
+    connected-components rebuild over new_triples but recomputed only on
+    the components touched by changed pages.
+
+    old_triples / new_triples: linked triple tables of the two snapshots.
+    changed_urls: one `url` column (changed_url_set of classify_pages).
+    old_mapping: the previous (node_id, canon_id) mapping.
+    """
+    new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
+    subgraph_ids = affected_subgraph(
+        old_triples, new_triples, changed_urls, old_mapping, new_nodes
+    )
+    sub_nodes = new_nodes.join(subgraph_ids, "node_id", "left_semi")
+
+    # 5. pairs within S, using FULL-corpus bucket statistics (probe from S)
+    # so the MAX_BUCKET guard drops exactly the buckets a full rebuild
+    # would drop; both endpoints provably land in S (module docstring)
+    sub_pairs = (
+        candidate_pairs(new_nodes, probe_ids=subgraph_ids)
+        .join(subgraph_ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
+        .join(subgraph_ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+    )
+    sub_mapping = connected_components(sub_nodes, sub_pairs)
+
+    # unaffected nodes keep their old labels; deleted nodes drop out
+    keep = (
+        old_mapping.join(new_nodes, "node_id", "left_semi")
+        .join(subgraph_ids, "node_id", "left_anti")
+    )
+    return keep.unionByName(sub_mapping.select("node_id", "canon_id"))
+
+
+def patch_canonical_tables(
+    old_nodes: DataFrame,
+    old_edges: DataFrame,
+    new_triples: DataFrame,
+    old_mapping: DataFrame,
+    new_mapping: DataFrame,
+    changed_urls: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Patch the materialized (nodes, edges) to the new snapshot given
+    the old tables and the patched mapping — only affected canons are
+    re-aggregated and only affected urls re-mapped.
+    """
+    # mapping rows that changed (new node, or canon re-labeled)
+    old_m = old_mapping.select(
+        "node_id", F.col("canon_id").alias("old_canon")
+    )
+    delta_nodes = (
+        new_mapping.join(old_m, "node_id", "left")
+        .filter(
+            F.col("old_canon").isNull()
+            | (F.col("old_canon") != F.col("canon_id"))
+        )
+        .select("node_id")
+        .transform(cut_lineage)
+    )
+    # gone nodes' canons also need re-aggregation (their counts shrink)
+    gone_nodes = old_mapping.join(
+        new_mapping, "node_id", "left_anti"
+    ).select("node_id")
+    # entities on changed urls: their mention counts changed
+    changed_ents = _endpoint_ids(
+        new_triples.join(changed_urls, "url", "left_semi")
+    )
+    dirty = (
+        delta_nodes.unionAll(gone_nodes)
+        .unionAll(changed_ents)
+        .distinct()
+        .transform(cut_lineage)
+    )
+
+    # affected canons, in BOTH labelings (old rows to drop, new to rebuild)
+    old_dirty_canons = (
+        old_mapping.join(dirty, "node_id", "left_semi")
+        .select("canon_id")
+        .distinct()
+    )
+    new_dirty_canons = (
+        new_mapping.join(dirty, "node_id", "left_semi")
+        .select("canon_id")
+        .distinct()
+        .transform(cut_lineage)
+    )
+    # every current member of a dirty canon (the whole group re-aggregates)
+    dirty_members = new_mapping.join(
+        new_dirty_canons, "canon_id", "left_semi"
+    ).select("node_id")
+
+    endpoints = (
+        new_triples.select(
+            F.col("subj_id").alias("node_id"), F.col("subj_name").alias("name")
+        )
+        .unionByName(
+            new_triples.select(
+                F.col("obj_id").alias("node_id"), F.col("obj_name").alias("name")
+            )
+        )
+        .join(dirty_members, "node_id", "left_semi")
+    )
+    rebuilt_nodes = (
+        endpoints.groupBy("node_id")
+        .agg(F.min("name").alias("name"), F.count(F.lit(1)).alias("n_mentions"))
+        .join(new_mapping, "node_id")
+        .groupBy("canon_id")
+        .agg(F.min("name").alias("name"), F.sum("n_mentions").alias("n_mentions"))
+    )
+    nodes = old_nodes.join(
+        old_dirty_canons, "canon_id", "left_anti"
+    ).unionByName(rebuilt_nodes)
+
+    # edges: rewrite rows on changed urls or with a re-labeled endpoint
+    urls_relabel = (
+        new_triples.join(
+            delta_nodes.withColumnRenamed("node_id", "subj_id"),
+            "subj_id",
+            "left_semi",
+        )
+        .select("url")
+        .unionAll(
+            new_triples.join(
+                delta_nodes.withColumnRenamed("node_id", "obj_id"),
+                "obj_id",
+                "left_semi",
+            ).select("url")
+        )
+    )
+    rewrite_urls = changed_urls.unionAll(urls_relabel).distinct()
+
+    smap = new_mapping.select(
+        F.col("node_id").alias("subj_id"), F.col("canon_id").alias("subj_canon")
+    )
+    omap = new_mapping.select(
+        F.col("node_id").alias("obj_id"), F.col("canon_id").alias("obj_canon")
+    )
+    rewritten = (
+        new_triples.join(rewrite_urls, "url", "left_semi")
+        .join(smap, "subj_id")
+        .join(omap, "obj_id")
+        .select(
+            "url",
+            "warc_ts",
+            "pred",
+            "span_start",
+            "span_end",
+            F.col("subj_canon").alias("subj_id"),
+            F.col("obj_canon").alias("obj_id"),
+            "subj",
+            "obj",
+        )
+        .filter(F.col("subj_id") != F.col("obj_id"))
+    )
+    edges = old_edges.join(rewrite_urls, "url", "left_anti").unionByName(
+        rewritten
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Labeled graph diff (D3 completion): tombstoned change marks on nodes/edges
+# ---------------------------------------------------------------------------
+
+
+def labeled_nodes_diff(old_nodes: DataFrame, new_nodes: DataFrame) -> DataFrame:
+    """(canon_id, name, n_mentions, change): ADDED | DELETED | MODIFIED |
+    UNCHANGED. DELETED rows are tombstones carrying their last-known
+    name/count (blarify keeps deleted nodes labeled DELETED,
+    project_graph_diff_creator.py:150-179)."""
+    o = old_nodes.select(
+        "canon_id",
+        F.col("name").alias("o_name"),
+        F.col("n_mentions").alias("o_n"),
+        F.lit(True).alias("in_old"),
+    )
+    n = new_nodes.select(
+        "canon_id",
+        F.col("name").alias("n_name"),
+        F.col("n_mentions").alias("n_n"),
+        F.lit(True).alias("in_new"),
+    )
+    return o.join(n, "canon_id", "full_outer").select(
+        "canon_id",
+        F.coalesce("n_name", "o_name").alias("name"),
+        F.coalesce("n_n", "o_n").alias("n_mentions"),
+        F.when(F.col("in_old").isNull(), F.lit("ADDED"))
+        .when(F.col("in_new").isNull(), F.lit("DELETED"))
+        .when(
+            (F.col("o_name") != F.col("n_name")) | (F.col("o_n") != F.col("n_n")),
+            F.lit("MODIFIED"),
+        )
+        .otherwise(F.lit("UNCHANGED"))
+        .alias("change"),
+    )
+
+
+def labeled_edges_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Edge facts are immutable once emitted, so the diff is set-valued:
+    ADDED | DELETED | UNCHANGED per (url, subj_id, pred, obj_id,
+    span_start); DELETED rows are tombstones."""
+    key = ["url", "subj_id", "pred", "obj_id", "span_start"]
+    o = old_edges.select(*key, F.lit(True).alias("in_old"))
+    n = new_edges.select(*key, F.lit(True).alias("in_new"))
+    return o.join(n, key, "full_outer").select(
+        *key,
+        F.when(F.col("in_old").isNull(), F.lit("ADDED"))
+        .when(F.col("in_new").isNull(), F.lit("DELETED"))
+        .otherwise(F.lit("UNCHANGED"))
+        .alias("change"),
+    )

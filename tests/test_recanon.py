@@ -1,0 +1,196 @@
+"""Affected-component re-canonicalization + labeled graph diff tests.
+
+Pins the round-3 incremental path against blarify's reverse-dependency
+closure semantics (project_graph_diff_creator.py:221-271): a modified
+page that introduces a bridging alias must MERGE the two clusters it
+connects WITHOUT a full rebuild, the patched mapping/nodes/edges must
+equal a full recompute, and unrelated components must stay outside the
+recomputed subgraph.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from blarify_spark.plans.canonicalize import build_entity_nodes, canonicalize
+from blarify_spark.plans.diff import classify_pages
+from blarify_spark.plans.extract import (
+    extract_all_stage,
+    mentions_from,
+    triples_from,
+)
+from blarify_spark.plans.linking import link_mentions, link_triples
+from blarify_spark.plans.recanon import (
+    affected_subgraph,
+    changed_url_set,
+    labeled_edges_diff,
+    labeled_nodes_diff,
+    patch_canonical_tables,
+    recanonicalize_affected,
+)
+from blarify_spark.sources.alias import alias_dict
+from blarify_spark.sources.pages import pages_from_rows
+
+T0 = datetime.datetime(2025, 1, 1)
+
+
+def _page(url, sentences):
+    html = (
+        "<html><body>"
+        + "".join(f"<p>{s}</p>" for s in sentences)
+        + "</body></html>"
+    ).encode()
+    return {
+        "url": url,
+        "warc_ts": T0,
+        "html": html,
+        "text": None,
+        "lang": "en",
+        "family": "recanon",
+    }
+
+
+def _linked(spark, rows):
+    pages = extract_all_stage(pages_from_rows(spark, rows)).cache()
+    linked = link_mentions(mentions_from(pages), alias_dict(spark))
+    return link_triples(triples_from(pages), linked).cache()
+
+
+# LSH-verified (deterministic xxhash64 seeds): "Alphabet Systems" ~
+# "Betamax Systems" produces NO candidate pair, while the bridge
+# "Alphabet Betamax Systems" pairs with BOTH (jaccard 0.59 / 0.62)
+# -> adding the bridge on a modified page merges the two clusters.
+SNAP1 = [
+    _page("https://r.test/a", ["Alphabet Systems acquired Initech."]),
+    _page("https://r.test/b", ["Betamax Systems acquired Hooli."]),
+    _page("https://r.test/far", ["Zeta Industries acquired Vandelay."]),
+    _page("https://r.test/keep", ["Initech works at Gotham."]),
+]
+SNAP2 = [
+    _page(
+        "https://r.test/a",
+        [
+            "Alphabet Systems acquired Initech.",
+            "Alphabet Betamax Systems acquired Initech.",  # bridging alias
+        ],
+    ),
+    SNAP1[1],
+    SNAP1[2],
+    SNAP1[3],
+]
+
+
+def _mapping_dict(mapping):
+    return {r["node_id"]: r["canon_id"] for r in mapping.collect()}
+
+
+def test_recanon_merges_bridged_clusters_and_equals_full_rebuild(spark):
+    old_t = _linked(spark, SNAP1)
+    new_t = _linked(spark, SNAP2)
+    _, _, old_mapping = canonicalize(old_t)
+
+    changes = classify_pages(
+        pages_from_rows(spark, SNAP1), pages_from_rows(spark, SNAP2)
+    )
+    changed = changed_url_set(changes)
+    assert [r["url"] for r in changed.collect()] == ["https://r.test/a"]
+
+    inc = recanonicalize_affected(old_t, new_t, changed, old_mapping)
+    _, _, full = canonicalize(new_t)
+    assert _mapping_dict(inc) == _mapping_dict(full)
+
+    # the bridge actually merged the two clusters
+    names = {
+        r["name"]: r["node_id"]
+        for r in build_entity_nodes(new_t).collect()
+    }
+    got = _mapping_dict(inc)
+    a, b, bridge = (
+        names["Alphabet Systems"],
+        names["Betamax Systems"],
+        names["Alphabet Betamax Systems"],
+    )
+    assert got[a] == got[b] == got[bridge]
+    # and they were NOT merged before the change
+    old = _mapping_dict(old_mapping)
+    assert old[a] != old[b]
+
+
+def test_recanon_subgraph_excludes_unrelated_components(spark):
+    """The 'without a full rebuild' claim, structurally: entities from
+    untouched far-away components never enter the recomputed subgraph."""
+    old_t = _linked(spark, SNAP1)
+    new_t = _linked(spark, SNAP2)
+    _, _, old_mapping = canonicalize(old_t)
+    changed = changed_url_set(
+        classify_pages(
+            pages_from_rows(spark, SNAP1), pages_from_rows(spark, SNAP2)
+        )
+    )
+    new_nodes = build_entity_nodes(new_t)
+    sub = {
+        r["node_id"]
+        for r in affected_subgraph(
+            old_t, new_t, changed, old_mapping, new_nodes
+        ).collect()
+    }
+    names = {r["name"]: r["node_id"] for r in new_nodes.collect()}
+    assert names["Alphabet Systems"] in sub
+    assert names["Betamax Systems"] in sub
+    for far in ["Zeta Industries", "Vandelay", "Gotham"]:
+        assert names[far] not in sub, far
+
+
+def test_patched_tables_equal_full_rebuild(spark):
+    old_t = _linked(spark, SNAP1)
+    new_t = _linked(spark, SNAP2)
+    old_nodes, old_edges, old_mapping = canonicalize(old_t)
+    changed = changed_url_set(
+        classify_pages(
+            pages_from_rows(spark, SNAP1), pages_from_rows(spark, SNAP2)
+        )
+    )
+    new_mapping = recanonicalize_affected(old_t, new_t, changed, old_mapping)
+    nodes, edges = patch_canonical_tables(
+        old_nodes, old_edges, new_t, old_mapping, new_mapping, changed
+    )
+    full_nodes, full_edges, _ = canonicalize(new_t)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(nodes) == rows(full_nodes)
+    assert rows(edges.select(sorted(edges.columns))) == rows(
+        full_edges.select(sorted(full_edges.columns))
+    )
+
+
+def test_labeled_nodes_diff_tombstones_and_marks(spark):
+    old_t = _linked(spark, SNAP1)
+    new_t = _linked(spark, SNAP2)
+    old_nodes, old_edges, _ = canonicalize(old_t)
+    new_nodes, new_edges, _ = canonicalize(new_t)
+
+    nd = labeled_nodes_diff(old_nodes, new_nodes)
+    by_change = {
+        r["change"]: r["n"]
+        for r in nd.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    # the merge rewrites the bridged cluster's canon: old per-cluster rows
+    # become DELETED tombstones (kept, not dropped), the merged canon is
+    # ADDED or MODIFIED, far components UNCHANGED
+    assert by_change.get("DELETED", 0) >= 1
+    assert by_change.get("UNCHANGED", 0) >= 2
+    tomb = nd.filter(F.col("change") == "DELETED").collect()
+    for r in tomb:  # tombstones carry their last-known payload
+        assert r["name"] is not None and r["n_mentions"] is not None
+
+    ed = labeled_edges_diff(old_edges, new_edges)
+    ec = {
+        r["change"]: r["n"]
+        for r in ed.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    assert ec.get("ADDED", 0) >= 1  # the bridge sentence's edge
+    assert ec.get("UNCHANGED", 0) >= 1
