@@ -283,6 +283,65 @@ def patch_canonical_tables(
     return nodes, edges
 
 
+def incremental_update(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    old_triples: DataFrame,
+    old_nodes: DataFrame,
+    old_edges: DataFrame,
+    old_mapping: DataFrame,
+    alias_df: DataFrame,
+) -> dict[str, DataFrame]:
+    """End-to-end incremental update: re-extract + re-link ONLY changed
+    pages, patch the triple table, re-canonicalize only affected
+    components, and patch nodes/edges — the full blarify incremental
+    path (prebuilt/graph_builder.py:178-235 + the reverse-dependency
+    closure of project_graph_diff_creator.py:221-271) in one call.
+
+    Returns {"triples", "nodes", "edges", "mapping", "changes"} — each
+    equal to a full rebuild of the new snapshot (pinned by
+    tests/test_recanon.py), at the cost of O(changed + affected), not
+    O(corpus).
+    """
+    from blarify_spark.plans.diff import classify_pages
+    from blarify_spark.plans.extract import (
+        extract_all_stage,
+        mentions_from,
+        triples_from,
+    )
+    from blarify_spark.plans.linking import link_mentions, link_triples
+
+    changes = classify_pages(old_pages, new_pages)
+    changed = changed_url_set(changes).transform(cut_lineage)
+
+    # re-extract + re-link only the changed pages (one Python crossing
+    # over the delta, never the corpus)
+    affected_pages = new_pages.join(changed, "url", "left_semi")
+    ex = extract_all_stage(affected_pages)
+    fresh = link_triples(
+        triples_from(ex), link_mentions(mentions_from(ex), alias_df)
+    )
+    new_triples = (
+        old_triples.join(changed, "url", "left_anti")
+        .unionByName(fresh)
+        .transform(cut_lineage)
+    )
+
+    new_mapping = recanonicalize_affected(
+        old_triples, new_triples, changed, old_mapping
+    )
+    nodes, edges = patch_canonical_tables(
+        old_nodes, old_edges, new_triples, old_mapping, new_mapping, changed
+    )
+    return {
+        "triples": new_triples,
+        "nodes": nodes,
+        "edges": edges,
+        "mapping": new_mapping,
+        "changes": changes,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Labeled graph diff (D3 completion): tombstoned change marks on nodes/edges
 # ---------------------------------------------------------------------------

@@ -194,3 +194,33 @@ def test_labeled_nodes_diff_tombstones_and_marks(spark):
     }
     assert ec.get("ADDED", 0) >= 1  # the bridge sentence's edge
     assert ec.get("UNCHANGED", 0) >= 1
+
+
+def test_incremental_update_end_to_end_equals_full_rebuild(spark):
+    """The one-call incremental path (re-extract changed pages only ->
+    patch triples -> scoped re-canonicalize -> patch tables) equals a
+    full rebuild of the new snapshot on every output table."""
+    from blarify_spark.plans.recanon import incremental_update
+
+    old_t = _linked(spark, SNAP1)
+    old_nodes, old_edges, old_mapping = canonicalize(old_t)
+    out = incremental_update(
+        pages_from_rows(spark, SNAP1),
+        pages_from_rows(spark, SNAP2),
+        old_t,
+        old_nodes,
+        old_edges,
+        old_mapping,
+        alias_dict(spark),
+    )
+    full_t = _linked(spark, SNAP2)
+    full_nodes, full_edges, full_mapping = canonicalize(full_t)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(out["triples"]) == rows(full_t)
+    assert rows(out["nodes"]) == rows(full_nodes)
+    assert rows(out["edges"]) == rows(full_edges)
+    assert _mapping_dict(out["mapping"]) == _mapping_dict(full_mapping)
