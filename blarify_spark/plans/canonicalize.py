@@ -118,20 +118,13 @@ def _minhash_signature(shingle_col) -> F.Column:  # noqa: ANN001
     return F.array(*sigs)
 
 
-def candidate_pairs(
-    nodes: DataFrame, probe_ids: DataFrame | None = None
-) -> DataFrame:
-    """LSH-blocked candidate pairs verified by exact Jaccard.
+def lsh_bands(nodes: DataFrame) -> DataFrame:
+    """The LSH band table (node_id, shingles, band_key), bucket-capped.
 
-    Returns (src, dst) with src < dst, Jaccard >= threshold.
-
-    probe_ids (optional, one column `node_id`): restrict the LEFT side of
-    the bucket self-join to these nodes — the incremental-update probe
-    (plans/recanon.py): only pairs touching a probe node are returned, so
-    the join cost is O(|probe| x bucket) instead of O(n x bucket). At
-    real scale the full band table is the persisted LSH index the probe
-    side joins against.
-    """
+    This is the structure a 10^12-document deployment PERSISTS as the
+    similarity index: build once per snapshot, probe many times
+    (candidate_pairs self-join, incremental-update delta probes in
+    plans/recanon.py)."""
     prepared = nodes.select(
         "node_id",
         char_shingles(normalized_name(F.col("name"))).alias("shingles"),
@@ -159,16 +152,38 @@ def candidate_pairs(
         ).alias("band_key"),
     )
 
-    # drop oversized (non-discriminative) buckets before the self-join
+    # drop oversized (non-discriminative) buckets before any self-join
     bucket_sizes = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("_bn")
     )
-    bands = bands.join(
+    return bands.join(
         bucket_sizes.filter(F.col("_bn") <= MAX_BUCKET).select("band_key"),
         "band_key",
         "left_semi",
     )
 
+
+def candidate_pairs(
+    nodes: DataFrame, probe_ids: DataFrame | None = None
+) -> DataFrame:
+    """LSH-blocked candidate pairs verified by exact Jaccard.
+
+    Returns (src, dst) with src < dst, Jaccard >= threshold.
+
+    probe_ids (optional, one column `node_id`): restrict the LEFT side of
+    the bucket self-join to these nodes — the incremental-update probe
+    (plans/recanon.py): only pairs touching a probe node are returned, so
+    the join cost is O(|probe| x bucket) instead of O(n x bucket).
+    """
+    return pairs_from_bands(lsh_bands(nodes), probe_ids)
+
+
+def pairs_from_bands(
+    bands: DataFrame, probe_ids: DataFrame | None = None
+) -> DataFrame:
+    """Verified pairs from a (possibly pre-materialized) band table —
+    callers that probe the same snapshot repeatedly build lsh_bands once
+    and reuse it here."""
     left_bands = (
         bands
         if probe_ids is None

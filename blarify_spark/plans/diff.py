@@ -22,11 +22,21 @@ from pyspark.sql import DataFrame, functions as F
 from blarify_spark.plans.extract import extract_text_stage, triples_stage
 
 
-def _content_hash() -> F.Column:
-    """Null-safe content identity: md5(html), falling back to md5(text)
-    for pre-extracted pages with html=NULL (a supported input shape —
-    extract_text_stage handles them), then '' so presence is never
-    conflated with content (md5(NULL) is NULL and would misclassify)."""
+def _content_hash(df: DataFrame) -> F.Column:
+    """Null-safe content identity. When the snapshot carries an
+    ingest-time `content_hash` column (the WARC-Payload-Digest analog —
+    crawl pipelines compute it at fetch time), use it and skip re-hashing
+    the corpus bytes: at 10^12 documents classify becomes a join over
+    hashes instead of an md5 pass over every page body. Otherwise
+    md5(html), falling back to md5(text) for pre-extracted pages with
+    html=NULL, then '' so presence is never conflated with content
+    (md5(NULL) is NULL and would misclassify)."""
+    if "content_hash" in df.columns:
+        # trusted-complete by contract: referencing the html fallback here
+        # would force deserializing the page bytes for every row even when
+        # the digest is always non-null (coalesce short-circuits the md5
+        # COMPUTATION but not the column READ)
+        return F.coalesce(F.col("content_hash"), F.lit(""))
     return F.coalesce(
         F.md5(F.col("html").cast("binary")), F.md5("text"), F.lit("")
     )
@@ -52,13 +62,13 @@ def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
     """
     o = old_pages.select(
         F.col("url").alias("o_url"),
-        _content_hash().alias("old_hash"),
+        _content_hash(old_pages).alias("old_hash"),
         _relative_id().alias("o_rel"),
         F.lit(True).alias("in_old"),
     )
     n = new_pages.select(
         F.col("url").alias("n_url"),
-        _content_hash().alias("new_hash"),
+        _content_hash(new_pages).alias("new_hash"),
         _relative_id().alias("n_rel"),
         F.lit(True).alias("in_new"),
     )

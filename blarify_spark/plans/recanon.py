@@ -43,8 +43,9 @@ from pyspark.sql import DataFrame, functions as F
 from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.plans.canonicalize import (
     build_entity_nodes,
-    candidate_pairs,
     connected_components,
+    lsh_bands,
+    pairs_from_bands,
 )
 
 
@@ -77,10 +78,13 @@ def affected_subgraph(
     changed_urls: DataFrame,
     old_mapping: DataFrame,
     new_nodes: DataFrame,
+    bands: DataFrame,
 ) -> DataFrame:
     """One `node_id` column: the entities whose canonical labels must be
     recomputed (steps 1-4 of the module-docstring argument). Everything
-    outside this set provably keeps its old label."""
+    outside this set provably keeps its old label. `bands` is the
+    lsh_bands table of the NEW snapshot (built once by the caller — the
+    persisted-index probe pattern); `new_nodes` the new entity table."""
     # 1. delta entities: mentioned on a changed url in either snapshot
     delta = (
         _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
@@ -92,7 +96,7 @@ def affected_subgraph(
     )
 
     # 2. LSH probe of the new corpus from the delta side only
-    probe_pairs = candidate_pairs(new_nodes, probe_ids=delta).transform(
+    probe_pairs = pairs_from_bands(bands, probe_ids=delta).transform(
         cut_lineage
     )
     touched = (
@@ -134,8 +138,11 @@ def recanonicalize_affected(
     old_mapping: the previous (node_id, canon_id) mapping.
     """
     new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
+    # build the LSH band table ONCE (the persisted similarity index at
+    # real scale) and probe it twice: delta probe + subgraph pair pull
+    bands = lsh_bands(new_nodes).transform(cut_lineage)
     subgraph_ids = affected_subgraph(
-        old_triples, new_triples, changed_urls, old_mapping, new_nodes
+        old_triples, new_triples, changed_urls, old_mapping, new_nodes, bands
     )
     sub_nodes = new_nodes.join(subgraph_ids, "node_id", "left_semi")
 
@@ -143,7 +150,7 @@ def recanonicalize_affected(
     # so the MAX_BUCKET guard drops exactly the buckets a full rebuild
     # would drop; both endpoints provably land in S (module docstring)
     sub_pairs = (
-        candidate_pairs(new_nodes, probe_ids=subgraph_ids)
+        pairs_from_bands(bands, probe_ids=subgraph_ids)
         .join(subgraph_ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
         .join(subgraph_ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
     )
@@ -236,23 +243,30 @@ def patch_canonical_tables(
         old_dirty_canons, "canon_id", "left_anti"
     ).unionByName(rebuilt_nodes)
 
-    # edges: rewrite rows on changed urls or with a re-labeled endpoint
-    urls_relabel = (
-        new_triples.join(
-            delta_nodes.withColumnRenamed("node_id", "subj_id"),
-            "subj_id",
-            "left_semi",
-        )
-        .select("url")
-        .unionAll(
+    # edges: rewrite rows on changed urls or with a re-labeled endpoint.
+    # Short-circuit: when NO node changed labels (the common steady-state
+    # delta — content edits without entity-cluster movement), skip the two
+    # full-corpus semi-join scans entirely; the isEmpty probe is one tiny
+    # job over the (small) mapping join.
+    if delta_nodes.isEmpty():
+        rewrite_urls = changed_urls
+    else:
+        urls_relabel = (
             new_triples.join(
-                delta_nodes.withColumnRenamed("node_id", "obj_id"),
-                "obj_id",
+                delta_nodes.withColumnRenamed("node_id", "subj_id"),
+                "subj_id",
                 "left_semi",
-            ).select("url")
+            )
+            .select("url")
+            .unionAll(
+                new_triples.join(
+                    delta_nodes.withColumnRenamed("node_id", "obj_id"),
+                    "obj_id",
+                    "left_semi",
+                ).select("url")
+            )
         )
-    )
-    rewrite_urls = changed_urls.unionAll(urls_relabel).distinct()
+        rewrite_urls = changed_urls.unionAll(urls_relabel).distinct()
 
     smap = new_mapping.select(
         F.col("node_id").alias("subj_id"), F.col("canon_id").alias("subj_canon")

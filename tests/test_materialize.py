@@ -232,3 +232,36 @@ def test_classify_pages_moved_reverse_collision(spark):
     assert changes["https://c.test/page/x"]["old_url"] is None
     # the deleted page is claimed exactly once -> no DELETED residue
     assert "https://a.test/page/x" not in changes
+
+
+def test_classify_pages_uses_ingest_time_content_hash(spark):
+    """When snapshots carry a content_hash column (the WARC payload
+    digest analog), classify must trust it instead of re-hashing page
+    bytes — proven by giving identical html but different hashes."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content_hash", T.StringType()),
+        ]
+    )
+    ts = datetime.datetime(2025, 1, 1)
+    html = b"<html><body><p>same bytes</p></body></html>"
+    old = spark.createDataFrame(
+        [("https://h.test/p", ts, html, None, "en", "digest-v1")], schema
+    )
+    new = spark.createDataFrame(
+        [("https://h.test/p", ts, html, None, "en", "digest-v2")], schema
+    )
+    got = classify_pages(old, new).collect()
+    assert len(got) == 1 and got[0]["change"] == "MODIFIED"
+    # same digest -> UNCHANGED, still no byte hashing needed
+    same = classify_pages(old, old).collect()
+    assert same[0]["change"] == "UNCHANGED"

@@ -129,11 +129,13 @@ def test_recanon_subgraph_excludes_unrelated_components(spark):
             pages_from_rows(spark, SNAP1), pages_from_rows(spark, SNAP2)
         )
     )
+    from blarify_spark.plans.canonicalize import lsh_bands
+
     new_nodes = build_entity_nodes(new_t)
     sub = {
         r["node_id"]
         for r in affected_subgraph(
-            old_t, new_t, changed, old_mapping, new_nodes
+            old_t, new_t, changed, old_mapping, new_nodes, lsh_bands(new_nodes)
         ).collect()
     }
     names = {r["name"]: r["node_id"] for r in new_nodes.collect()}
