@@ -125,6 +125,16 @@ def lsh_bands(nodes: DataFrame) -> DataFrame:
     similarity index: build once per snapshot, probe many times
     (candidate_pairs self-join, incremental-update delta probes in
     plans/recanon.py)."""
+    return cap_bands(lsh_bands_raw(nodes))
+
+
+def lsh_bands_raw(nodes: DataFrame) -> DataFrame:
+    """UNCAPPED band rows — the form to persist and patch incrementally:
+    a node's bands depend only on its own name, so a snapshot's raw band
+    table is (previous raw bands for surviving nodes) UNION (bands of new
+    nodes) — see plans/recanon.py:bands_patch. The MAX_BUCKET guard is
+    membership-dependent and therefore applied at probe time
+    (cap_bands), never baked into the persisted table."""
     prepared = nodes.select(
         "node_id",
         char_shingles(normalized_name(F.col("name"))).alias("shingles"),
@@ -152,7 +162,11 @@ def lsh_bands(nodes: DataFrame) -> DataFrame:
         ).alias("band_key"),
     )
 
-    # drop oversized (non-discriminative) buckets before any self-join
+    return bands
+
+
+def cap_bands(bands: DataFrame) -> DataFrame:
+    """Drop oversized (non-discriminative) buckets before any self-join."""
     bucket_sizes = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("_bn")
     )

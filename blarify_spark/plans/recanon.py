@@ -43,8 +43,10 @@ from pyspark.sql import DataFrame, functions as F
 from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.plans.canonicalize import (
     build_entity_nodes,
+    cap_bands,
     connected_components,
     lsh_bands,
+    lsh_bands_raw,
     pairs_from_bands,
 )
 
@@ -70,6 +72,91 @@ def _endpoint_ids(triples: DataFrame) -> DataFrame:
         .unionAll(triples.select(F.col("obj_id").alias("node_id")))
         .distinct()
     )
+
+
+def _endpoints(triples: DataFrame) -> DataFrame:
+    return triples.select(
+        F.col("subj_id").alias("node_id"), F.col("subj_name").alias("name")
+    ).unionAll(
+        triples.select(
+            F.col("obj_id").alias("node_id"), F.col("obj_name").alias("name")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintained incremental indexes: per-(node_id, name) mention stats and the
+# raw LSH band table — both patchable in O(delta), so the incremental path
+# never needs a full-corpus aggregation (the round-3 probe's remaining
+# fixed cost). Granularity note: stats are keyed by (node_id, name), not
+# node_id, because NIL entity names are NOT functionally dependent on the
+# id (case variants of a surface share one id with different names), so
+# removing a url can change the per-node min(name) — a per-pair count
+# table recomputes that min correctly from the survivors.
+# ---------------------------------------------------------------------------
+
+
+def entity_name_stats(triples: DataFrame) -> DataFrame:
+    """(node_id, name, n) — the maintained raw-node-stats index."""
+    return _endpoints(triples).groupBy("node_id", "name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def entity_stats_patch(
+    old_stats: DataFrame,
+    old_triples: DataFrame,
+    new_triples: DataFrame,
+    changed_urls: DataFrame,
+) -> DataFrame:
+    """The new snapshot's entity_name_stats from the old index plus ONLY
+    the changed urls' endpoint contributions (counts are additive)."""
+    rem = (
+        _endpoints(old_triples.join(changed_urls, "url", "left_semi"))
+        .groupBy("node_id", "name")
+        .agg(F.count(F.lit(1)).alias("rem"))
+    )
+    add = (
+        _endpoints(new_triples.join(changed_urls, "url", "left_semi"))
+        .groupBy("node_id", "name")
+        .agg(F.count(F.lit(1)).alias("add"))
+    )
+    key = ["node_id", "name"]
+    return (
+        old_stats.join(rem, key, "full_outer")
+        .join(add, key, "full_outer")
+        .select(
+            *key,
+            (
+                F.coalesce("n", F.lit(0))
+                - F.coalesce("rem", F.lit(0))
+                + F.coalesce("add", F.lit(0))
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def nodes_from_name_stats(name_stats: DataFrame) -> DataFrame:
+    """entity_name_stats -> the build_entity_nodes view (node_id, name,
+    n_mentions) — O(entities), no corpus scan."""
+    return name_stats.groupBy("node_id").agg(
+        F.min("name").alias("name"), F.sum("n").alias("n_mentions")
+    )
+
+
+def bands_patch(old_bands_raw: DataFrame, new_nodes: DataFrame) -> DataFrame:
+    """The new snapshot's raw band table from the old index: bands depend
+    only on a node's own (immutable) name, so surviving nodes keep their
+    rows and only genuinely new node_ids are banded — O(delta) band
+    construction."""
+    surviving = old_bands_raw.join(
+        new_nodes.select("node_id"), "node_id", "left_semi"
+    )
+    fresh_nodes = new_nodes.join(
+        old_bands_raw.select("node_id").distinct(), "node_id", "left_anti"
+    )
+    return surviving.unionByName(lsh_bands_raw(fresh_nodes))
 
 
 def affected_subgraph(
@@ -128,6 +215,8 @@ def recanonicalize_affected(
     new_triples: DataFrame,
     changed_urls: DataFrame,
     old_mapping: DataFrame,
+    new_nodes: DataFrame | None = None,
+    bands_raw: DataFrame | None = None,
 ) -> DataFrame:
     """Patched node_id -> canon_id mapping, equal to a full
     connected-components rebuild over new_triples but recomputed only on
@@ -136,11 +225,20 @@ def recanonicalize_affected(
     old_triples / new_triples: linked triple tables of the two snapshots.
     changed_urls: one `url` column (changed_url_set of classify_pages).
     old_mapping: the previous (node_id, canon_id) mapping.
+    new_nodes / bands_raw (optional): the maintained incremental indexes
+    (nodes_from_name_stats of a patched entity_name_stats table, and a
+    bands_patch'ed raw band table) — with both provided, no O(corpus)
+    aggregation runs at all; without them they are rebuilt here.
     """
-    new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
-    # build the LSH band table ONCE (the persisted similarity index at
-    # real scale) and probe it twice: delta probe + subgraph pair pull
-    bands = lsh_bands(new_nodes).transform(cut_lineage)
+    if new_nodes is None:
+        new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
+    # the LSH band table, built ONCE (or patched from the persisted index
+    # at real scale) and probed twice: delta probe + subgraph pair pull
+    bands = (
+        lsh_bands(new_nodes)
+        if bands_raw is None
+        else cap_bands(bands_raw)
+    ).transform(cut_lineage)
     subgraph_ids = affected_subgraph(
         old_triples, new_triples, changed_urls, old_mapping, new_nodes, bands
     )
@@ -171,10 +269,15 @@ def patch_canonical_tables(
     old_mapping: DataFrame,
     new_mapping: DataFrame,
     changed_urls: DataFrame,
+    name_stats: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Patch the materialized (nodes, edges) to the new snapshot given
     the old tables and the patched mapping — only affected canons are
     re-aggregated and only affected urls re-mapped.
+
+    name_stats (optional): the NEW snapshot's entity_name_stats index —
+    when provided, dirty canons re-aggregate from it (O(entities))
+    instead of re-scanning the triple table's endpoints.
     """
     # mapping rows that changed (new node, or canon re-labeled)
     old_m = old_mapping.select(
@@ -221,21 +324,22 @@ def patch_canonical_tables(
         new_dirty_canons, "canon_id", "left_semi"
     ).select("node_id")
 
-    endpoints = (
-        new_triples.select(
-            F.col("subj_id").alias("node_id"), F.col("subj_name").alias("name")
+    if name_stats is not None:
+        per_node = nodes_from_name_stats(
+            name_stats.join(dirty_members, "node_id", "left_semi")
         )
-        .unionByName(
-            new_triples.select(
-                F.col("obj_id").alias("node_id"), F.col("obj_name").alias("name")
+    else:
+        per_node = (
+            _endpoints(new_triples)
+            .join(dirty_members, "node_id", "left_semi")
+            .groupBy("node_id")
+            .agg(
+                F.min("name").alias("name"),
+                F.count(F.lit(1)).alias("n_mentions"),
             )
         )
-        .join(dirty_members, "node_id", "left_semi")
-    )
     rebuilt_nodes = (
-        endpoints.groupBy("node_id")
-        .agg(F.min("name").alias("name"), F.count(F.lit(1)).alias("n_mentions"))
-        .join(new_mapping, "node_id")
+        per_node.join(new_mapping, "node_id")
         .groupBy("canon_id")
         .agg(F.min("name").alias("name"), F.sum("n_mentions").alias("n_mentions"))
     )

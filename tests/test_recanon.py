@@ -226,3 +226,92 @@ def test_incremental_update_end_to_end_equals_full_rebuild(spark):
     assert rows(out["nodes"]) == rows(full_nodes)
     assert rows(out["edges"]) == rows(full_edges)
     assert _mapping_dict(out["mapping"]) == _mapping_dict(full_mapping)
+
+
+def test_maintained_indexes_equal_rebuilt(spark):
+    """The O(delta) index patches (entity_name_stats, raw bands) must
+    reproduce the from-scratch structures exactly, and feeding them into
+    recanonicalize/patch must still equal a full rebuild."""
+    from blarify_spark.plans.canonicalize import lsh_bands_raw
+    from blarify_spark.plans.recanon import (
+        bands_patch,
+        entity_name_stats,
+        entity_stats_patch,
+        nodes_from_name_stats,
+    )
+
+    old_t = _linked(spark, SNAP1)
+    new_t = _linked(spark, SNAP2)
+    old_nodes, old_edges, old_mapping = canonicalize(old_t)
+    changed = changed_url_set(
+        classify_pages(
+            pages_from_rows(spark, SNAP1), pages_from_rows(spark, SNAP2)
+        )
+    )
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    ns1 = entity_name_stats(old_t)
+    ns2 = entity_stats_patch(ns1, old_t, new_t, changed)
+    assert rows(ns2) == rows(entity_name_stats(new_t))
+    new_nodes = nodes_from_name_stats(ns2)
+    assert rows(new_nodes) == rows(build_entity_nodes(new_t))
+
+    b1 = lsh_bands_raw(build_entity_nodes(old_t))
+    b2 = bands_patch(b1, new_nodes)
+    want = lsh_bands_raw(build_entity_nodes(new_t))
+    assert rows(b2.drop("shingles")) == rows(want.drop("shingles"))
+
+    inc = recanonicalize_affected(
+        old_t, new_t, changed, old_mapping, new_nodes=new_nodes, bands_raw=b2
+    )
+    _, _, full_m = canonicalize(new_t)
+    assert _mapping_dict(inc) == _mapping_dict(full_m)
+
+    nodes, edges = patch_canonical_tables(
+        old_nodes, old_edges, new_t, old_mapping, inc, changed, name_stats=ns2
+    )
+    full_nodes, full_edges, _ = canonicalize(new_t)
+    assert rows(nodes) == rows(full_nodes)
+    assert rows(edges) == rows(full_edges)
+
+
+def test_stats_patch_recomputes_min_name_on_removal(spark):
+    """NIL entity names are not functionally dependent on the id: two
+    case variants of an unlinked surface share one node_id with different
+    names. Deleting the page that held the min-sorting variant must flip
+    the node's representative name — a per-node additive count would get
+    this wrong; the per-(node_id, name) index recomputes it."""
+    from blarify_spark.plans.recanon import (
+        entity_name_stats,
+        entity_stats_patch,
+        nodes_from_name_stats,
+    )
+
+    snap1 = [
+        _page("https://n.test/a", ["ZZYZX Widgets acquired Initech."]),
+        _page("https://n.test/b", ["Zzyzx Widgets acquired Hooli."]),
+    ]
+    snap2 = [snap1[1]]  # the page with the uppercase variant is deleted
+    old_t = _linked(spark, snap1)
+    new_t = _linked(spark, snap2)
+    changed = changed_url_set(
+        classify_pages(
+            pages_from_rows(spark, snap1), pages_from_rows(spark, snap2)
+        )
+    )
+    ns2 = entity_stats_patch(
+        entity_name_stats(old_t), old_t, new_t, changed
+    )
+    got = {
+        r["name"]: r["n_mentions"]
+        for r in nodes_from_name_stats(ns2).collect()
+    }
+    want = {
+        r["name"]: r["n_mentions"]
+        for r in build_entity_nodes(new_t).collect()
+    }
+    assert got == want
+    assert "Zzyzx Widgets" in got and "ZZYZX Widgets" not in got
