@@ -208,17 +208,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cut_lineage)
     )
 
-    def _minhash(i: int):
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    sig = F.array(
+    # Minhash via explode + codegen min-aggregates instead of 32
+    # interpreted HOF array passes: Catalyst lambdas (transform/
+    # array_min) are interpreted per element, while min(xxhash64(...))
+    # over the exploded shingles stays inside whole-stage codegen with
+    # map-side partial aggregation (shuffle volume = one 32-long row per
+    # doc per partition). Hash values are IDENTICAL to the HOF form
+    # (same xxhash64(i, shingle) family), so candidate pairs are
+    # unchanged.
+    flat = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    sig_rows = flat.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(F.col("shingles"), _minhash(i)))
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
             for i in range(MINHASH_H)
         ]
     )
     rows_per_band = MINHASH_H // MINHASH_BANDS
-    bands = docs.select(
+    bands = sig_rows.select(
         "doc_id",
         F.explode(
             F.array(
@@ -228,7 +234,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "|",
                             F.lit(bi),
                             *[
-                                sig[bi * rows_per_band + r]
+                                F.col(f"h{bi * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ],
                         )
