@@ -33,6 +33,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--no-resume", action="store_true", help="recompute every stage"
     )
+    ap.add_argument(
+        "--update-from-run",
+        default=None,
+        metavar="PREV_RUN_ID",
+        help="incremental update: re-extract only pages that changed vs "
+        "this previous run's committed snapshot (same --out dir) and "
+        "re-canonicalize only affected components",
+    )
     args = ap.parse_args(argv)
 
     from blarify_spark.session import ensure_workers_can_import, get_spark
@@ -51,15 +59,26 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = scan_pages(read_pages(spark, args.pages))
 
-    from blarify_spark.plans.materialize import run_pipeline
+    from blarify_spark.plans.materialize import run_incremental, run_pipeline
 
     t0 = time.perf_counter()
-    tables = run_pipeline(
-        spark, pages, args.out, run_id=args.run_id, resume=not args.no_resume
-    )
+    if args.update_from_run:
+        tables = run_incremental(
+            spark,
+            pages,
+            args.out,
+            run_id=args.run_id,
+            prev_run_id=args.update_from_run,
+            resume=not args.no_resume,
+        )
+    else:
+        tables = run_pipeline(
+            spark, pages, args.out, run_id=args.run_id, resume=not args.no_resume
+        )
     summary = {
         "out": args.out,
         "run_id": args.run_id,
+        "updated_from": args.update_from_run,
         "triples": tables["triples"].count(),
         "nodes": tables["nodes"].count(),
         "edges": tables["edges"].count(),

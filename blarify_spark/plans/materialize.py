@@ -203,29 +203,135 @@ def run_pipeline(
         resume=resume,
     )
 
-    # canonicalize() yields nodes+edges together; compute once, stage both.
+    # canonicalize() yields nodes+edges+mapping together; compute once,
+    # stage all three.
     _canon_cache: dict[str, DataFrame] = {}
 
-    def _canon() -> tuple[DataFrame, DataFrame]:
+    def _canon() -> dict[str, DataFrame]:
         if not _canon_cache:
-            nodes, edges, _ = canonicalize(linked)
+            nodes, edges, mapping = canonicalize(linked)
             _canon_cache["nodes"] = nodes
             _canon_cache["edges"] = edges
-        return _canon_cache["nodes"], _canon_cache["edges"]
+            _canon_cache["mapping"] = mapping
+        return _canon_cache
 
     nodes = materialize_stage(
-        spark, out_dir, run_id, "nodes", lambda: _canon()[0], resume=resume
+        spark, out_dir, run_id, "nodes", lambda: _canon()["nodes"], resume=resume
     )
     edges = materialize_stage(
         spark,
         out_dir,
         run_id,
         "edges",
-        lambda: _canon()[1].select(*TRIPLE_COLS),
+        lambda: _canon()["edges"].select(*TRIPLE_COLS),
         salt_on="subj_id",
         resume=resume,
     )
-    return {"triples": triples, "nodes": nodes, "edges": edges}
+    # the two tables a FUTURE incremental update consumes (run_incremental):
+    # the entity mapping, and per-url ingest digests so classify never
+    # re-reads page bytes
+    mapping = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "mapping",
+        lambda: _canon()["mapping"],
+        resume=resume,
+    )
+    from blarify_spark.plans.diff import _content_hash
+
+    digests = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "digests",
+        lambda: pages.select(
+            "url", "warc_ts", _content_hash(pages).alias("content_hash")
+        ),
+        resume=resume,
+    )
+    return {
+        "triples": triples,
+        "linked": linked,
+        "nodes": nodes,
+        "edges": edges,
+        "mapping": mapping,
+        "digests": digests,
+    }
+
+
+def run_incremental(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    prev_run_id: str,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Incremental successor to run_pipeline: update a previous run's
+    materialized snapshot to `new_pages`, re-extracting only changed
+    pages and re-canonicalizing only affected components
+    (plans/recanon.py). Writes the same stage set under the new run_id,
+    so further updates chain off it.
+    """
+    from blarify_spark.plans.diff import _content_hash
+    from blarify_spark.plans.recanon import incremental_update
+    from blarify_spark.sources.alias import alias_dict
+
+    def _prev(stage: str) -> DataFrame:
+        if not stage_committed(out_dir, prev_run_id, stage):
+            raise FileNotFoundError(
+                f"previous run {prev_run_id!r} has no committed {stage!r} "
+                f"stage under {out_dir} — run the full pipeline first"
+            )
+        return spark.read.parquet(os.path.join(out_dir, prev_run_id, stage))
+
+    out = incremental_update(
+        _prev("digests"),  # url + content_hash is all classify needs
+        new_pages,
+        _prev("linked"),
+        _prev("nodes"),
+        _prev("edges").select(*TRIPLE_COLS),
+        _prev("mapping"),
+        alias_dict(spark),
+    )
+    linked = materialize_stage(
+        spark, out_dir, run_id, "linked", lambda: out["triples"], resume=resume
+    )
+    nodes = materialize_stage(
+        spark, out_dir, run_id, "nodes", lambda: out["nodes"], resume=resume
+    )
+    edges = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "edges",
+        lambda: out["edges"].select(*TRIPLE_COLS),
+        salt_on="subj_id",
+        resume=resume,
+    )
+    mapping = materialize_stage(
+        spark, out_dir, run_id, "mapping", lambda: out["mapping"], resume=resume
+    )
+    digests = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "digests",
+        lambda: new_pages.select(
+            "url", "warc_ts", _content_hash(new_pages).alias("content_hash")
+        ),
+        resume=resume,
+    )
+    return {
+        "triples": linked,
+        "linked": linked,
+        "nodes": nodes,
+        "edges": edges,
+        "mapping": mapping,
+        "digests": digests,
+        "changes": out["changes"],
+    }
 
 
 # ---------------------------------------------------------------------------

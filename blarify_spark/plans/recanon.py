@@ -427,18 +427,17 @@ def incremental_update(
         mentions_from,
         triples_from,
     )
-    from blarify_spark.plans.linking import link_mentions, link_triples
+    from blarify_spark.plans.linking import resolve_triples
 
     changes = classify_pages(old_pages, new_pages)
     changed = changed_url_set(changes).transform(cut_lineage)
 
     # re-extract + re-link only the changed pages (one Python crossing
-    # over the delta, never the corpus)
+    # over the delta, never the corpus); resolve_triples is the same
+    # single-aggregation linking plan run_pipeline's `linked` stage uses
     affected_pages = new_pages.join(changed, "url", "left_semi")
     ex = extract_all_stage(affected_pages)
-    fresh = link_triples(
-        triples_from(ex), link_mentions(mentions_from(ex), alias_df)
-    )
+    fresh = resolve_triples(triples_from(ex), mentions_from(ex), alias_df)
     new_triples = (
         old_triples.join(changed, "url", "left_anti")
         .unionByName(fresh)

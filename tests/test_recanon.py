@@ -315,3 +315,42 @@ def test_stats_patch_recomputes_min_name_on_removal(spark):
     }
     assert got == want
     assert "Zzyzx Widgets" in got and "ZZYZX Widgets" not in got
+
+
+def test_run_incremental_materializes_and_equals_full_pipeline(spark, tmp_path):
+    """The materialized incremental path (run_incremental, consuming a
+    previous run_pipeline snapshot's digests/linked/nodes/edges/mapping
+    stages) writes manifest-committed stages equal to a full
+    run_pipeline of the new snapshot."""
+    from blarify_spark.plans.materialize import (
+        run_incremental,
+        run_pipeline,
+        stage_committed,
+    )
+
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, pages_from_rows(spark, SNAP1), out, run_id="v1")
+    inc = run_incremental(
+        spark,
+        pages_from_rows(spark, SNAP2),
+        out,
+        run_id="v2",
+        prev_run_id="v1",
+    )
+    for stage in ["linked", "nodes", "edges", "mapping", "digests"]:
+        assert stage_committed(out, "v2", stage), stage
+
+    out_full = str(tmp_path / "kg_full")
+    full = run_pipeline(
+        spark, pages_from_rows(spark, SNAP2), out_full, run_id="vf"
+    )
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(inc["nodes"]) == rows(full["nodes"])
+    assert rows(inc["edges"]) == rows(full["edges"])
+    assert rows(inc["mapping"]) == rows(full["mapping"])
+    changes = {r["url"]: r["change"] for r in inc["changes"].collect()}
+    assert changes["https://r.test/a"] == "MODIFIED"
