@@ -58,9 +58,10 @@ _CACHE2: dict[int, dict[str, DataFrame]] = {}
 
 def _kg_incr(spark: SparkSession) -> dict[str, DataFrame]:
     """The incremental-snapshot twin of _kg (cached): the fixture corpus
-    after corpus.generate_incremental_snapshot (2 added, 1 deleted, 2
-    modified pages), piped through the same stages, plus the diff
-    products against the base snapshot."""
+    after corpus.generate_incremental_snapshot (3 added — one a
+    cluster-merging suffix alias — 1 deleted, 2 modified pages), piped
+    through the same stages, plus the diff products against the base
+    snapshot."""
     key = id(spark)
     if key not in _CACHE2:
         from blarify_spark import corpus

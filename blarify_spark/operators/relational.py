@@ -256,15 +256,25 @@ def broadcast_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_customers_no_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (leaf/entry-point detection analog,
-    blarify queries.py:397-419,1677-1701)."""
+    blarify queries.py:397-419,1677-1701).
+
+    Predicate: customers with no URGENT order. The driver's testdata has
+    every customer placing >=1 order, so the unfiltered anti-join returns
+    0 rows at any sf — a vacuous hash match (round-3 VERDICT). Filtering
+    the right side first keeps the plan shape (filter -> LeftAnti
+    BroadcastHashJoin / SortMergeJoin) and yields 203 survivors at sf0.01.
+    """
     t = load_tables(spark, sf_dir, ["customer", "orders"])
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return t["customer"].join(
-        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -74,7 +74,7 @@ def test_classify_pages_diff(spark, fixture_pages):
         r["change"]: r["n"]
         for r in changes.groupBy("change").agg(F.count("*").alias("n")).collect()
     }
-    assert counts["ADDED"] == 2
+    assert counts["ADDED"] == 3
     assert counts["DELETED"] == 1
     assert counts["MODIFIED"] == 2
     assert counts["UNCHANGED"] == 61

@@ -138,7 +138,7 @@ def test_incremental_snapshot_semantics():
     urls1 = {p["url"] for p in pages}
     urls2 = {p["url"] for p in snap2}
     assert len(urls1 - urls2) == 1  # deleted
-    assert len(urls2 - urls1) == 2  # added
+    assert len(urls2 - urls1) == 3  # added
     by_url1 = {p["url"]: p["html"] for p in pages}
     modified = [
         u for u in (urls1 & urls2) if by_url1[u] != {p["url"]: p["html"] for p in snap2}[u]
