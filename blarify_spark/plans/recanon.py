@@ -21,13 +21,26 @@ full rebuild, pinned by tests/test_recanon.py):
 2. LSH probe: all candidate pairs of the NEW corpus touching D
    (candidate_pairs(new_nodes, probe_ids=D) — the full band table is the
    persisted LSH index at scale; only D's buckets are joined).
-3. affected components A = old components of D and of D's pair partners.
-4. subgraph S = all current members of A, plus D and the partners.
+2b. cap transitions: the MAX_BUCKET guard is corpus-membership-dependent
+   — an added/removed delta node can push a band bucket across the cap,
+   creating (bucket re-enabled) or destroying (bucket newly dropped)
+   verified pairs between two nodes NEITHER of which is in D. Only
+   buckets containing a delta node can change size, so the affected
+   bucket keys are exactly D's band keys (old ∪ new raw band tables);
+   every member of a key whose size crossed the cap joins the touched
+   set (cap_crossing_members).
+3. affected components A = old components of D, of D's pair partners,
+   and of the cap-crossing members.
+4. subgraph S = all current members of A, plus the touched set.
    Every new-corpus similarity pair with an endpoint in S has BOTH
    endpoints in S: a pre-existing pair means same old component; a new
-   pair touches D and its partner is collected in step 2. Hence no edge
-   crosses the S boundary and components split cleanly into "inside S"
-   (recomputed) and "outside S" (provably unchanged, old labels kept).
+   pair either touches D (partner collected in step 2) or was created
+   by a cap transition (both endpoints collected in step 2b) — pair
+   existence depends only on the two nodes' names and their shared
+   bucket's cap status, all of which are otherwise unchanged. Hence no
+   edge crosses the S boundary and components split cleanly into
+   "inside S" (recomputed) and "outside S" (provably unchanged, old
+   labels kept).
 5. re-run LSH+CC on S only; patched mapping = keep ∪ sub.
 
 Nodes/edges tables are then PATCHED, not rebuilt: only canons whose
@@ -159,6 +172,70 @@ def bands_patch(old_bands_raw: DataFrame, new_nodes: DataFrame) -> DataFrame:
     return surviving.unionByName(lsh_bands_raw(fresh_nodes))
 
 
+def delta_ids(
+    old_triples: DataFrame, new_triples: DataFrame, changed_urls: DataFrame
+) -> DataFrame:
+    """Step 1: entities mentioned on a changed url in either snapshot."""
+    return (
+        _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
+        .unionAll(
+            _endpoint_ids(new_triples.join(changed_urls, "url", "left_semi"))
+        )
+        .distinct()
+    )
+
+
+def cap_crossing_members(
+    old_bands_raw: DataFrame, new_bands_raw: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Step 2b: node_ids of every band bucket whose size crossed
+    MAX_BUCKET between the two snapshots (ADVICE r03: the cap guard is
+    corpus-membership-dependent, so a delta node entering/leaving a
+    bucket near the cap creates or destroys pairs between two untouched
+    nodes). Only buckets containing a delta node can change size, so the
+    candidate keys are probed from the delta — O(|delta| * BANDS) keys,
+    never a full bucket-histogram diff."""
+    from blarify_spark.plans.canonicalize import MAX_BUCKET
+
+    delta_keys = (
+        old_bands_raw.join(delta, "node_id", "left_semi")
+        .select("band_key")
+        .unionAll(
+            new_bands_raw.join(delta, "node_id", "left_semi").select("band_key")
+        )
+        .distinct()
+        .transform(cut_lineage)
+    )
+    o_sizes = (
+        old_bands_raw.join(delta_keys, "band_key", "left_semi")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("o_n"))
+    )
+    n_sizes = (
+        new_bands_raw.join(delta_keys, "band_key", "left_semi")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n_n"))
+    )
+    crossed = (
+        o_sizes.join(n_sizes, "band_key", "full_outer")
+        .filter(
+            (F.coalesce("o_n", F.lit(0)) <= MAX_BUCKET)
+            != (F.coalesce("n_n", F.lit(0)) <= MAX_BUCKET)
+        )
+        .select("band_key")
+    )
+    return (
+        old_bands_raw.join(crossed, "band_key", "left_semi")
+        .select("node_id")
+        .unionAll(
+            new_bands_raw.join(crossed, "band_key", "left_semi").select(
+                "node_id"
+            )
+        )
+        .distinct()
+    )
+
+
 def affected_subgraph(
     old_triples: DataFrame,
     new_triples: DataFrame,
@@ -166,21 +243,26 @@ def affected_subgraph(
     old_mapping: DataFrame,
     new_nodes: DataFrame,
     bands: DataFrame,
+    extra_touched: DataFrame | None = None,
+    delta: DataFrame | None = None,
 ) -> DataFrame:
     """One `node_id` column: the entities whose canonical labels must be
     recomputed (steps 1-4 of the module-docstring argument). Everything
     outside this set provably keeps its old label. `bands` is the
     lsh_bands table of the NEW snapshot (built once by the caller — the
-    persisted-index probe pattern); `new_nodes` the new entity table."""
+    persisted-index probe pattern); `new_nodes` the new entity table.
+
+    extra_touched: additional node_ids to fold into the touched set —
+    recanonicalize_affected passes the cap-transition members (step 2b);
+    without them the S-boundary argument only covers fixed bucket-cap
+    membership (use recanonicalize_affected as the entry point).
+    delta: pre-computed delta_ids (avoids recomputing when the caller
+    already needed it for the cap-transition probe)."""
     # 1. delta entities: mentioned on a changed url in either snapshot
-    delta = (
-        _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
-        .unionAll(
-            _endpoint_ids(new_triples.join(changed_urls, "url", "left_semi"))
+    if delta is None:
+        delta = delta_ids(old_triples, new_triples, changed_urls).transform(
+            cut_lineage
         )
-        .distinct()
-        .transform(cut_lineage)
-    )
 
     # 2. LSH probe of the new corpus from the delta side only
     probe_pairs = pairs_from_bands(bands, probe_ids=delta).transform(
@@ -189,8 +271,10 @@ def affected_subgraph(
     touched = (
         delta.unionAll(probe_pairs.select(F.col("src").alias("node_id")))
         .unionAll(probe_pairs.select(F.col("dst").alias("node_id")))
-        .distinct()
     )
+    if extra_touched is not None:
+        touched = touched.unionAll(extra_touched.select("node_id"))
+    touched = touched.distinct()
 
     # 3. affected old components
     affected_canons = (
@@ -217,6 +301,7 @@ def recanonicalize_affected(
     old_mapping: DataFrame,
     new_nodes: DataFrame | None = None,
     bands_raw: DataFrame | None = None,
+    old_bands_raw: DataFrame | None = None,
 ) -> DataFrame:
     """Patched node_id -> canon_id mapping, equal to a full
     connected-components rebuild over new_triples but recomputed only on
@@ -229,18 +314,37 @@ def recanonicalize_affected(
     (nodes_from_name_stats of a patched entity_name_stats table, and a
     bands_patch'ed raw band table) — with both provided, no O(corpus)
     aggregation runs at all; without them they are rebuilt here.
+    old_bands_raw (optional): the PREVIOUS snapshot's raw band table —
+    the persisted index bands_raw was patched from. Needed for the
+    cap-transition check (step 2b); rebuilt from old_triples when absent
+    (one extra O(old corpus) columnar pass on the non-indexed path).
     """
     if new_nodes is None:
         new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
     # the LSH band table, built ONCE (or patched from the persisted index
-    # at real scale) and probed twice: delta probe + subgraph pair pull
-    bands = (
-        lsh_bands(new_nodes)
-        if bands_raw is None
-        else cap_bands(bands_raw)
+    # at real scale) and probed three times: delta probe, cap-transition
+    # key probe, subgraph pair pull
+    new_bands_raw = (
+        lsh_bands_raw(new_nodes) if bands_raw is None else bands_raw
     ).transform(cut_lineage)
+    bands = cap_bands(new_bands_raw).transform(cut_lineage)
+    if old_bands_raw is None:
+        old_bands_raw = lsh_bands_raw(
+            build_entity_nodes(old_triples)
+        ).transform(cut_lineage)
+    delta = delta_ids(old_triples, new_triples, changed_urls).transform(
+        cut_lineage
+    )
+    crossing = cap_crossing_members(old_bands_raw, new_bands_raw, delta)
     subgraph_ids = affected_subgraph(
-        old_triples, new_triples, changed_urls, old_mapping, new_nodes, bands
+        old_triples,
+        new_triples,
+        changed_urls,
+        old_mapping,
+        new_nodes,
+        bands,
+        extra_touched=crossing,
+        delta=delta,
     )
     sub_nodes = new_nodes.join(subgraph_ids, "node_id", "left_semi")
 
@@ -265,6 +369,7 @@ def recanonicalize_affected(
 def patch_canonical_tables(
     old_nodes: DataFrame,
     old_edges: DataFrame,
+    old_triples: DataFrame,
     new_triples: DataFrame,
     old_mapping: DataFrame,
     new_mapping: DataFrame,
@@ -274,6 +379,12 @@ def patch_canonical_tables(
     """Patch the materialized (nodes, edges) to the new snapshot given
     the old tables and the patched mapping — only affected canons are
     re-aggregated and only affected urls re-mapped.
+
+    old_triples is required for the dirty set (ADVICE r03): an entity
+    whose mention is REMOVED by a modified page but which survives on
+    unchanged pages keeps its node_id and canon, yet its mention count
+    (and possibly min name) shrank — only the OLD snapshot's endpoints
+    on changed urls reveal it.
 
     name_stats (optional): the NEW snapshot's entity_name_stats index —
     when provided, dirty canons re-aggregate from it (O(entities))
@@ -296,9 +407,15 @@ def patch_canonical_tables(
     gone_nodes = old_mapping.join(
         new_mapping, "node_id", "left_anti"
     ).select("node_id")
-    # entities on changed urls: their mention counts changed
+    # entities on changed urls: their mention counts changed. BOTH
+    # snapshots' endpoints: new-side for added mentions, old-side for
+    # removed mentions of entities that survive on unchanged pages
+    # (new-side alone misses them — their stale n_mentions/name would
+    # ship in the patched table)
     changed_ents = _endpoint_ids(
         new_triples.join(changed_urls, "url", "left_semi")
+    ).unionAll(
+        _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
     )
     dirty = (
         delta_nodes.unionAll(gone_nodes)
@@ -448,7 +565,13 @@ def incremental_update(
         old_triples, new_triples, changed, old_mapping
     )
     nodes, edges = patch_canonical_tables(
-        old_nodes, old_edges, new_triples, old_mapping, new_mapping, changed
+        old_nodes,
+        old_edges,
+        old_triples,
+        new_triples,
+        old_mapping,
+        new_mapping,
+        changed,
     )
     return {
         "triples": new_triples,

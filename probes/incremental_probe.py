@@ -251,6 +251,7 @@ def main() -> None:
             mapping1,
             new_nodes=new_nodes2,
             bands_raw=bands_raw2,
+            old_bands_raw=bands_raw1,
         ).cache()
     else:
         name_stats2 = None
@@ -305,6 +306,7 @@ def main() -> None:
     nodes, edges = patch_canonical_tables(
         nodes1,
         edges1_pruned,
+        t1,
         new_t,
         mapping1,
         new_m,

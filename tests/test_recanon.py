@@ -156,7 +156,7 @@ def test_patched_tables_equal_full_rebuild(spark):
     )
     new_mapping = recanonicalize_affected(old_t, new_t, changed, old_mapping)
     nodes, edges = patch_canonical_tables(
-        old_nodes, old_edges, new_t, old_mapping, new_mapping, changed
+        old_nodes, old_edges, old_t, new_t, old_mapping, new_mapping, changed
     )
     full_nodes, full_edges, _ = canonicalize(new_t)
 
@@ -265,13 +265,26 @@ def test_maintained_indexes_equal_rebuilt(spark):
     assert rows(b2.drop("shingles")) == rows(want.drop("shingles"))
 
     inc = recanonicalize_affected(
-        old_t, new_t, changed, old_mapping, new_nodes=new_nodes, bands_raw=b2
+        old_t,
+        new_t,
+        changed,
+        old_mapping,
+        new_nodes=new_nodes,
+        bands_raw=b2,
+        old_bands_raw=b1,
     )
     _, _, full_m = canonicalize(new_t)
     assert _mapping_dict(inc) == _mapping_dict(full_m)
 
     nodes, edges = patch_canonical_tables(
-        old_nodes, old_edges, new_t, old_mapping, inc, changed, name_stats=ns2
+        old_nodes,
+        old_edges,
+        old_t,
+        new_t,
+        old_mapping,
+        inc,
+        changed,
+        name_stats=ns2,
     )
     full_nodes, full_edges, _ = canonicalize(new_t)
     assert rows(nodes) == rows(full_nodes)
@@ -315,6 +328,102 @@ def test_stats_patch_recomputes_min_name_on_removal(spark):
     }
     assert got == want
     assert "Zzyzx Widgets" in got and "ZZYZX Widgets" not in got
+
+
+def test_patch_detects_removed_mention_of_surviving_entity(spark):
+    """ADVICE r03 (high): a modified page DROPS a mention of an entity
+    that survives on unchanged pages with the same canon label. The
+    entity is in no new-side endpoint of the changed url and never
+    relabels, so a new-triples-only dirty set misses it and ships its
+    stale n_mentions. Patched tables must equal the full rebuild."""
+    snap1 = [
+        _page("https://m.test/keep", ["Initech works at Gotham."]),
+        _page("https://m.test/mod", ["Initech acquired Hooli."]),
+    ]
+    snap2 = [
+        snap1[0],
+        _page("https://m.test/mod", ["Globex acquired Hooli."]),
+    ]
+    old_t = _linked(spark, snap1)
+    new_t = _linked(spark, snap2)
+    old_nodes, old_edges, old_mapping = canonicalize(old_t)
+    changed = changed_url_set(
+        classify_pages(
+            pages_from_rows(spark, snap1), pages_from_rows(spark, snap2)
+        )
+    )
+    new_mapping = recanonicalize_affected(old_t, new_t, changed, old_mapping)
+    nodes, edges = patch_canonical_tables(
+        old_nodes, old_edges, old_t, new_t, old_mapping, new_mapping, changed
+    )
+    full_nodes, full_edges, _ = canonicalize(new_t)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(nodes) == rows(full_nodes)
+    assert rows(edges) == rows(full_edges)
+    # and the surviving entity's count actually shrank
+    got = {r["name"]: r["n_mentions"] for r in nodes.collect()}
+    assert got["Initech"] == 1
+
+
+def test_cap_transition_recomputes_untouched_bucket_members(
+    spark, monkeypatch
+):
+    """ADVICE r03 (medium): the MAX_BUCKET guard is corpus-membership-
+    dependent — a delta node entering/leaving a bucket near the cap
+    creates or destroys pairs between two UNTOUCHED nodes. Both
+    directions must equal a full rebuild:
+
+    * delete a member of an over-cap bucket -> bucket re-enabled ->
+      the two surviving (untouched) suffix variants MERGE;
+    * add a member to an at-cap bucket -> bucket dropped -> the
+      previously merged pair SPLITS.
+    """
+    from blarify_spark.plans import canonicalize as canon_mod
+
+    monkeypatch.setattr(canon_mod, "MAX_BUCKET", 2)
+
+    p1 = _page("https://c.test/1", ["Quantum Widgets acquired Initech."])
+    p2 = _page("https://c.test/2", ["Quantum Widgets Inc acquired Initech."])
+    p3 = _page("https://c.test/3", ["Quantum Widgets Ltd acquired Initech."])
+
+    def _canon_map(rows):
+        t = _linked(spark, rows)
+        _, _, m = canonicalize(t)
+        return t, m
+
+    def _assert_inc_equals_full(snap_old, snap_new):
+        old_t, old_m = _canon_map(snap_old)
+        new_t = _linked(spark, snap_new)
+        changed = changed_url_set(
+            classify_pages(
+                pages_from_rows(spark, snap_old),
+                pages_from_rows(spark, snap_new),
+            )
+        )
+        inc = recanonicalize_affected(old_t, new_t, changed, old_m)
+        _, _, full = canonicalize(new_t)
+        assert _mapping_dict(inc) == _mapping_dict(full)
+        return _mapping_dict(full)
+
+    # direction 1: 3 identical-normalized names -> bucket size 3 > cap
+    # (all singletons); deleting p3 re-enables the bucket -> merge
+    full = _assert_inc_equals_full([p1, p2, p3], [p1, p2])
+    names_t = _linked(spark, [p1, p2])
+    names = {r["name"]: r["node_id"] for r in build_entity_nodes(names_t).collect()}
+    assert full[names["Quantum Widgets"]] == full[names["Quantum Widgets Inc"]]
+
+    # direction 2: start merged at bucket size 2 == cap; adding p3 pushes
+    # the bucket over the cap -> pairs vanish -> split
+    full2 = _assert_inc_equals_full([p1, p2], [p1, p2, p3])
+    names_t2 = _linked(spark, [p1, p2, p3])
+    n2 = {r["name"]: r["node_id"] for r in build_entity_nodes(names_t2).collect()}
+    assert len({full2[n2[k]] for k in
+                ["Quantum Widgets", "Quantum Widgets Inc",
+                 "Quantum Widgets Ltd"]}) == 3
 
 
 def test_run_incremental_materializes_and_equals_full_pipeline(spark, tmp_path):
