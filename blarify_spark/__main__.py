@@ -79,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         "out": args.out,
         "run_id": args.run_id,
         "updated_from": args.update_from_run,
-        "triples": tables["triples"].count(),
+        # entity-RESOLVED triple count — same stage and semantics for
+        # full and incremental runs (the raw pre-linking stage only
+        # exists on full runs, so it never appears in the summary)
+        "linked_triples": tables["linked"].count(),
         "nodes": tables["nodes"].count(),
         "edges": tables["edges"].count(),
         "wall_sec": round(time.perf_counter() - t0, 2),

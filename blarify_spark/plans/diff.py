@@ -17,29 +17,77 @@ make the merge idempotent, mirroring apoc.merge upserts
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 from blarify_spark.plans.extract import extract_text_stage, triples_stage
 
 
 def _content_hash(df: DataFrame) -> F.Column:
-    """Null-safe content identity. When the snapshot carries an
-    ingest-time `content_hash` column (the WARC-Payload-Digest analog —
-    crawl pipelines compute it at fetch time), use it and skip re-hashing
-    the corpus bytes: at 10^12 documents classify becomes a join over
-    hashes instead of an md5 pass over every page body. Otherwise
-    md5(html), falling back to md5(text) for pre-extracted pages with
-    html=NULL, then '' so presence is never conflated with content
-    (md5(NULL) is NULL and would misclassify)."""
+    """Null-safe, ALGO-TAGGED content identity ('algo:hex'). When the
+    snapshot carries an ingest-time `content_hash` column (the
+    WARC-Payload-Digest analog — crawl pipelines compute it at fetch
+    time), use it and skip re-hashing the corpus bytes: at 10^12
+    documents classify becomes a join over hashes instead of an md5 pass
+    over every page body. Otherwise md5(html), falling back to md5(text)
+    for pre-extracted pages with html=NULL, then '' so presence is never
+    conflated with content (md5(NULL) is NULL and would misclassify).
+
+    Digests self-describe their hash family (ADVICE r03): comparing an
+    md5-derived digest against a crawl digest can never spuriously match,
+    and _warn_on_digest_family_mismatch can detect the degraded case
+    (every comparison failing -> near-full recompute) instead of it
+    passing silently. Untagged ingest digests get an 'ing:' prefix;
+    already-tagged values ('md5:...', 'warc:...') pass through."""
     if "content_hash" in df.columns:
         # trusted-complete by contract: referencing the html fallback here
         # would force deserializing the page bytes for every row even when
         # the digest is always non-null (coalesce short-circuits the md5
         # COMPUTATION but not the column READ)
-        return F.coalesce(F.col("content_hash"), F.lit(""))
-    return F.coalesce(
-        F.md5(F.col("html").cast("binary")), F.md5("text"), F.lit("")
+        raw = F.coalesce(F.col("content_hash"), F.lit(""))
+        return F.when(raw.contains(":"), raw).otherwise(
+            F.concat(F.lit("ing:"), raw)
+        )
+    return F.concat(
+        F.lit("md5:"),
+        F.coalesce(F.md5(F.col("html").cast("binary")), F.md5("text"), F.lit("")),
     )
+
+
+def _warn_on_digest_family_mismatch(
+    old_pages: DataFrame, new_pages: DataFrame
+) -> None:
+    """If the two snapshots' digests come from different hash families
+    (e.g. a previous run's md5 digests vs fresh crawl digests), every
+    hash comparison fails and classify degrades to labeling all surviving
+    pages MODIFIED — correct output, but a silent near-full recompute.
+    Probe one tagged value per content_hash-carrying side (limit(1) on a
+    slim projection — one tiny job, only on sides that carry a digest
+    column; sides computing md5 inline are 'md5' by construction)."""
+    fams = []
+    for df in (old_pages, new_pages):
+        if "content_hash" in df.columns:
+            row = (
+                df.select(
+                    F.substring_index(_content_hash(df), ":", 1).alias("f")
+                )
+                .limit(1)
+                .collect()
+            )
+            fams.append(row[0]["f"] if row else "md5")
+        else:
+            fams.append("md5")
+    if fams[0] != fams[1]:
+        warnings.warn(
+            f"snapshot digest families differ ({fams[0]!r} vs {fams[1]!r}): "
+            "every surviving page will classify MODIFIED and the "
+            "incremental path degrades to a near-full recompute. "
+            "Re-ingest with matching digest algorithms, or provide "
+            "html/text so both sides recompute md5.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _relative_id() -> F.Column:
@@ -60,6 +108,10 @@ def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
     project_graph_diff_creator.py:131-148): content-identical -> MOVED,
     content-changed -> MODIFIED; both carry old_url (null otherwise).
     """
+    if ("content_hash" in old_pages.columns) or (
+        "content_hash" in new_pages.columns
+    ):
+        _warn_on_digest_family_mismatch(old_pages, new_pages)
     o = old_pages.select(
         F.col("url").alias("o_url"),
         _content_hash(old_pages).alias("old_hash"),

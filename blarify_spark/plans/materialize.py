@@ -323,8 +323,12 @@ def run_incremental(
         ),
         resume=resume,
     )
+    # NO "triples" key: run_pipeline's "triples" is the RAW pre-linking
+    # stage, which an incremental run never materializes (only changed
+    # pages re-extract). Exposing linked under the same name would give
+    # the key different semantics per path (ADVICE r03) — consumers read
+    # "linked" from both.
     return {
-        "triples": linked,
         "linked": linked,
         "nodes": nodes,
         "edges": edges,

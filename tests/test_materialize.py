@@ -132,6 +132,42 @@ def test_classify_pages_null_html_uses_text_hash(spark):
     }
 
 
+def test_classify_warns_on_digest_family_mismatch(spark):
+    """ADVICE r03: a digests side whose hash family differs from the
+    md5-computing side degrades every comparison to MODIFIED — correct
+    but a silent near-full recompute. It must warn; matching families
+    (our own stored md5-tagged digests) must stay silent."""
+    import warnings as _w
+
+    dschema = "url string, warc_ts timestamp, content_hash string"
+    pschema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    new = spark.createDataFrame(
+        [("u://a", None, b"<p>x</p>", None, "en")], pschema
+    )
+    foreign = spark.createDataFrame([("u://a", None, "sha1:abc")], dschema)
+    with pytest.warns(RuntimeWarning, match="digest families differ"):
+        got = {
+            r["url"]: r["change"]
+            for r in classify_pages(foreign, new).collect()
+        }
+    assert got == {"u://a": "MODIFIED"}  # degraded, but still correct
+
+    # our own digests: md5-tagged values -> same family, no warning
+    from blarify_spark.plans.diff import _content_hash
+
+    own = new.select("url", "warc_ts", _content_hash(new).alias("content_hash"))
+    first = own.select("content_hash").first()["content_hash"]
+    assert first.startswith("md5:")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        got = {
+            r["url"]: r["change"] for r in classify_pages(own, new).collect()
+        }
+    assert got == {"u://a": "UNCHANGED"}
+
+
 def test_incremental_triples_match_full_recompute(spark, fixture_pages):
     """Incremental merge == recompute-from-scratch on snapshot 2."""
     rows = corpus.generate_pages(64)
