@@ -621,6 +621,23 @@ def kg_recanon_affected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kg_provenance_edges", oracle=None)
+def kg_provenance_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-provenance layer (round-4): MODIFIED_BY edges from the
+    page-versions the incremental snapshot's ingest session touched to
+    the crawl-event node, with span-level attribution JSON (blame
+    line-range analog, relationship_creator.py:341-363), plus the
+    crawl→entity AFFECTS fan-out (:380-404). Only changed urls get
+    edges; semantics pinned by tests/test_provenance.py."""
+    from blarify_spark.plans.provenance import provenance_tables
+
+    incr = _kg_incr(spark)
+    _, edges = provenance_tables(
+        incr["changes"], incr["triples"], "crawl_v2"
+    )
+    return edges.orderBy("edge_type", "url", "src_id", "dst_id")
+
+
 @register("kg_pagerank", oracle=None)
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the canonical entity graph (5 fixed iterations,

@@ -61,9 +61,14 @@ def _with_shipping(
 # registration order. Rows-only semantics are pinned by pytest regardless
 # of driver visibility.
 _ROWS_ONLY_PRIORITY = [
-    "kg_diff_labeled_nodes",  # new round-3 operators first
+    # the ~4 rows-only slots inside the driver's 50-query check prefix:
+    # the round-3 vacuous-evidence fix first (must show >0 rows), then
+    # the round-4 operators, then the round-3 diff op (green r3, 38 rows)
     "kg_recanon_affected",
-    "kg_child_gather",  # round-1 driver crash, fixed round 2 and verified
+    "kg_provenance_edges",  # new round-4
+    "kg_workflows_materialized",  # new round-4
+    "kg_diff_labeled_nodes",
+    "kg_child_gather",  # round-1 driver crash; verified green r2 AND r3
     "multimodal_decode_features",  # same
     "kg_hierarchy",
     "kg_workflow_bridges",

@@ -99,8 +99,10 @@ def _relative_id() -> F.Column:
 
 
 def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
-    """Full-outer join on url -> (url, change, old_url) with change in
-    ADDED | DELETED | MODIFIED | MOVED | UNCHANGED.
+    """Full-outer join on url -> (url, change, old_url, new_hash) with
+    change in ADDED | DELETED | MODIFIED | MOVED | UNCHANGED. new_hash
+    is the new snapshot's tagged content digest (null for DELETED) — the
+    provenance layer keys page-VERSION nodes on it.
 
     Presence is tracked with explicit per-side marker columns (never via
     hash nullability). A second pass matches leftover ADDED x DELETED rows
@@ -167,13 +169,17 @@ def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
             .otherwise(F.lit("MODIFIED"))
             .alias("change"),
             "old_url",
+            F.col("w.b.new_hash").alias("new_hash"),
         )
     )
     consumed = moved.select("url").unionAll(
         moved.select(F.col("old_url").alias("url"))
     )
     others = base.join(consumed, "url", "left_anti").select(
-        "url", "change", F.lit(None).cast("string").alias("old_url")
+        "url",
+        "change",
+        F.lit(None).cast("string").alias("old_url"),
+        "new_hash",
     )
     return others.unionByName(moved)
 

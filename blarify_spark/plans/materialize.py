@@ -323,6 +323,38 @@ def run_incremental(
         ),
         resume=resume,
     )
+    # crawl-provenance attribution of this ingest session (the blarify
+    # integration-layer analog, relationship_creator.py:241-404): which
+    # crawl event modified which page-versions (span-attributed) and
+    # which entities it affected. crawl_id = run_id, so a consumer joins
+    # prov_edges -> prov_nodes to answer "what did ingest X change".
+    from blarify_spark.plans.provenance import provenance_tables
+
+    _prov_cache: dict[str, DataFrame] = {}
+
+    def _prov(which: str) -> DataFrame:
+        if not _prov_cache:
+            pn, pe = provenance_tables(out["changes"], linked, run_id)
+            _prov_cache["nodes"] = pn
+            _prov_cache["edges"] = pe
+        return _prov_cache[which]
+
+    prov_nodes = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "prov_nodes",
+        lambda: _prov("nodes"),
+        resume=resume,
+    )
+    prov_edges = materialize_stage(
+        spark,
+        out_dir,
+        run_id,
+        "prov_edges",
+        lambda: _prov("edges"),
+        resume=resume,
+    )
     # NO "triples" key: run_pipeline's "triples" is the RAW pre-linking
     # stage, which an incremental run never materializes (only changed
     # pages re-extract). Exposing linked under the same name would give
@@ -335,6 +367,8 @@ def run_incremental(
         "mapping": mapping,
         "digests": digests,
         "changes": out["changes"],
+        "prov_nodes": prov_nodes,
+        "prov_edges": prov_edges,
     }
 
 
