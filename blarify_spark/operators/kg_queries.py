@@ -53,6 +53,26 @@ def _kg(spark: SparkSession) -> dict[str, DataFrame]:
     return _CACHE[key]
 
 
+_CACHE_WF: dict[int, dict[str, DataFrame]] = {}
+
+
+def _kg_wf(spark: SparkSession) -> dict[str, DataFrame]:
+    """The fixture graph AUGMENTED with the persisted workflow layer
+    (plans/workflows.py; blarify queries.py:1600-1675): WORKFLOW nodes
+    plus belongs_to_workflow / workflow_step edge rows live in the same
+    nodes/edges tables, so graph queries see workflow membership."""
+    key = id(spark)
+    if key not in _CACHE_WF:
+        from blarify_spark.plans.workflows import materialize_workflows
+
+        kg = _kg(spark)
+        nodes, edges = materialize_workflows(
+            kg["nodes"], kg["edges"], _workflow_traces(kg)
+        )
+        _CACHE_WF[key] = {"nodes": nodes.cache(), "edges": edges.cache()}
+    return _CACHE_WF[key]
+
+
 _CACHE2: dict[int, dict[str, DataFrame]] = {}
 
 
@@ -245,7 +265,11 @@ def kg_grep_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kg_neighborhood", oracle=None)
 def kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 analog: 1-hop neighborhood of the busiest entity (in + out
-    via unionByName)."""
+    via unionByName) over the WORKFLOW-AUGMENTED graph — membership
+    edges (belongs_to_workflow) surface the entity's workflows alongside
+    its content neighbors (round-4; blarify queries.py:1640-1655). The
+    center is picked on content edges only so workflow fan-out can't
+    skew the busiest-entity choice."""
     kg = _kg(spark)
     top = (
         kg["edges"]
@@ -255,7 +279,7 @@ def kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("subj_id").alias("center"))
     )
-    e = kg["edges"]
+    e = _kg_wf(spark)["edges"]
     out_edges = e.join(F.broadcast(top), e.subj_id == F.col("center")).select(
         F.lit("out").alias("direction"), "pred", F.col("obj_id").alias("neighbor")
     )
@@ -621,6 +645,21 @@ def kg_recanon_affected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kg_workflows_materialized", oracle=None)
+def kg_workflows_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workflow persistence (round-4): the workflow layer AS WRITTEN into
+    the edges table — belongs_to_workflow membership rows and ordered
+    workflow_step rows with deterministic md5 workflow ids (blarify
+    queries.py:1600-1675). Idempotency (re-materialize == identical
+    tables) pinned by tests/test_workflow_persist.py."""
+    e = _kg_wf(spark)["edges"]
+    return (
+        e.filter(F.col("pred").isin("belongs_to_workflow", "workflow_step"))
+        .select("url", "pred", "subj", "obj", "span_start")
+        .orderBy("url", "pred", "span_start", "subj", "obj")
+    )
+
+
 @register("kg_provenance_edges", oracle=None)
 def kg_provenance_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-provenance layer (round-4): MODIFIED_BY edges from the
@@ -792,108 +831,11 @@ def kg_mermaid_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines
 
 
-def _workflow_traces(kg: dict[str, DataFrame]) -> DataFrame:
-    """Q6 shared core (blarify queries.py:926-1053): bounded DFS path
-    enumeration from entry-point entities with per-root longest-common-
-    prefix computation.
-
-    Paths accumulate id AND name arrays through <=5 frontier joins; the
-    cycle guard and the LCP run on canon_ids (blarify's NODE_PATH
-    uniqueness — distinct entities sharing a display name must not block
-    each other), names ride along for rendering only. Every window is
-    partitioned by root (blarify dedups per entry point), so no global
-    single-task sort exists at any scale.
-
-    Returns one row per (root, path): root, root_name, path_str, ids,
-    names, path_rank, lcp (id-level shared prefix with the previous path
-    of the same root).
-    """
-    edges = kg["edges"].select("subj_id", "obj_id").distinct()
-    names = kg["nodes"].select("canon_id", "name")
-
-    roots = (
-        kg["nodes"]
-        .join(
-            kg["edges"].select(F.col("obj_id").alias("canon_id")),
-            "canon_id",
-            "left_anti",
-        )
-        .select(
-            F.col("canon_id").alias("node"),
-            F.array("canon_id").alias("ids"),
-            F.array("name").alias("names"),
-        )
-    )
-    complete = roots.filter(F.lit(False))  # empty, same schema
-    frontier = roots
-    for i in range(5):
-        # per-iteration unique column names avoid self-join ambiguity
-        # (frontier.node descends from the previous round's edge columns)
-        e_i = edges.select(
-            F.col("subj_id").alias(f"src_{i}"), F.col("obj_id").alias(f"dst_{i}")
-        )
-        n_i = names.select(
-            F.col("canon_id").alias(f"nid_{i}"), F.col("name").alias(f"nm_{i}")
-        )
-        ext = (
-            frontier.join(e_i, frontier.node == F.col(f"src_{i}"))
-            .join(n_i, F.col(f"dst_{i}") == F.col(f"nid_{i}"))
-            .filter(~F.array_contains(F.col("ids"), F.col(f"dst_{i}")))
-            .transform(cut_lineage)
-        )
-        step = ext.select(
-            F.col(f"dst_{i}").alias("node"),
-            F.concat(F.col("ids"), F.array(f"dst_{i}")).alias("ids"),
-            F.concat(F.col("names"), F.array(f"nm_{i}")).alias("names"),
-        )
-        # paths that produced NO extension are complete — checked against
-        # the actual extensions, not just head out-degree, so a path whose
-        # every outgoing edge is cycle-blocked still completes (a head-
-        # degree check would silently drop it)
-        ended = frontier.join(
-            ext.select(F.array_join("ids", ">").alias("_k")).distinct(),
-            F.array_join(frontier["ids"], ">") == F.col("_k"),
-            "left_anti",
-        )
-        complete = complete.unionByName(ended)
-        frontier = step
-        if frontier.isEmpty():
-            break
-    complete = complete.unionByName(frontier)
-
-    paths = (
-        complete.select(
-            F.col("ids")[0].alias("root"),
-            F.element_at("names", 1).alias("root_name"),
-            F.array_join("names", " > ").alias("path_str"),
-            F.array_join("ids", ">").alias("id_path"),
-            "ids",
-            "names",
-        )
-        .dropDuplicates(["id_path"])
-    )
-    w = W.partitionBy("root").orderBy("path_str", "id_path")
-    prev_ids = F.lag("ids").over(w)
-    both = F.col("ids")
-    shared = F.least(F.size(both), F.size(prev_ids))
-    lcp = F.when(prev_ids.isNull() | (shared <= 0), F.lit(0)).otherwise(
-        F.aggregate(
-            F.sequence(F.lit(0), shared - 1),
-            F.lit(0),
-            lambda acc, i: F.when(
-                (acc == i) & (both[i] == prev_ids[i]), acc + 1
-            ).otherwise(acc),
-        )
-    )
-    return paths.select(
-        "root",
-        "root_name",
-        "path_str",
-        "ids",
-        "names",
-        F.row_number().over(w).alias("path_rank"),
-        lcp.alias("lcp"),
-    )
+# _workflow_traces moved to plans/workflows.py (workflow_traces) in
+# round-4 so the materialization pipeline can persist the layer without
+# importing the operator registry; this alias keeps the operator-side
+# name. Depth now 20 (reference queries.py:938) with an explosion guard.
+from blarify_spark.plans.workflows import workflow_traces as _workflow_traces
 
 
 @register("kg_workflow_paths", oracle=None)

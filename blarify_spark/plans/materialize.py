@@ -28,6 +28,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from blarify_spark.functions.checkpoint import cut_lineage as _cut
+
 SALT_BUCKETS = 8
 
 TRIPLE_COLS = [
@@ -150,6 +152,7 @@ def run_pipeline(
     out_dir: str,
     run_id: str = "run0",
     resume: bool = True,
+    with_workflows: bool = False,
 ) -> dict[str, DataFrame]:
     """pages -> {triples, nodes, edges} materialized under out_dir.
 
@@ -159,6 +162,12 @@ def run_pipeline(
       linked    : entity-resolved triples (broadcast linking)
       nodes     : canonical entity nodes
       edges     : canonical edges, salted repartition on subj_id
+
+    with_workflows=True persists the workflow layer INTO nodes/edges
+    (plans/workflows.py; blarify queries.py:1600-1675): WORKFLOW rows
+    plus belongs_to_workflow / workflow_step edges with deterministic
+    md5 workflow ids — a consumer of the written tables can query
+    workflow membership directly.
     """
     from blarify_spark.plans.canonicalize import canonicalize
     from blarify_spark.plans.extract import (
@@ -210,6 +219,21 @@ def run_pipeline(
     def _canon() -> dict[str, DataFrame]:
         if not _canon_cache:
             nodes, edges, mapping = canonicalize(linked)
+            if with_workflows:
+                from blarify_spark.plans.workflows import (
+                    materialize_workflows,
+                    workflow_traces,
+                )
+
+                # cut lineage first: the traces loop joins the edge plan
+                # up to 20x, and the workflow rows re-enter the same
+                # tables it was derived from
+                nodes = nodes.transform(_cut)
+                edges = edges.transform(_cut)
+                kg = {"nodes": nodes, "edges": edges}
+                nodes, edges = materialize_workflows(
+                    nodes, edges, workflow_traces(kg)
+                )
             _canon_cache["nodes"] = nodes
             _canon_cache["edges"] = edges
             _canon_cache["mapping"] = mapping
