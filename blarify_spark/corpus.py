@@ -237,6 +237,50 @@ _PRED_I18N: dict[str, dict[str, str]] = {
         "works at": "trabalha na",
         "wrote": "escreveu",
     },
+    "nl": {
+        "is located in": "is gevestigd in",
+        "was founded by": "werd opgericht door",
+        "is the capital of": "is de hoofdstad van",
+        "acquired": "verwierf",
+        "invented": "bedacht",
+        "discovered": "ontdekte",
+        "developed": "ontwikkelde",
+        "works at": "werkt bij",
+        "wrote": "schreef",
+    },
+    "sv": {
+        "is located in": "ligger i",
+        "was founded by": "grundades av",
+        "is the capital of": "är huvudstad i",
+        "acquired": "förvärvade",
+        "invented": "uppfann",
+        "discovered": "upptäckte",
+        "developed": "utvecklade",
+        "works at": "arbetar på",
+        "wrote": "skrev",
+    },
+    "da": {
+        "is located in": "ligger i",
+        "was founded by": "blev grundlagt af",
+        "is the capital of": "er hovedstad i",
+        "acquired": "opkøbte",
+        "invented": "opfandt",
+        "discovered": "opdagede",
+        "developed": "udviklede",
+        "works at": "arbejder hos",
+        "wrote": "skrev",
+    },
+    "pl": {
+        "is located in": "znajduje się w",
+        "was founded by": "została założona przez",
+        "is the capital of": "jest stolicą",
+        "acquired": "przejęła",
+        "invented": "wynalazł",
+        "discovered": "odkryła",
+        "developed": "opracowała",
+        "works at": "pracuje w",
+        "wrote": "napisał",
+    },
 }
 # NOTE: _LANGS (the fixture-corpus language mix) intentionally stays
 # en/de/fr — extending it would shift every downstream rng draw and

@@ -119,6 +119,55 @@ PREDICATES_PT: dict[str, str] = {
     "trabalha na": "works_at",
     "escreveu": "wrote",
 }
+PREDICATES_NL: dict[str, str] = {
+    "is gevestigd in": "located_in",
+    "werd opgericht door": "founded_by",
+    "is de hoofdstad van": "capital_of",
+    "verwierf": "acquired",
+    "bedacht": "invented",
+    "ontdekte": "discovered",
+    "ontwikkelde": "developed",
+    "werkt bij": "works_at",
+    "schreef": "wrote",
+}
+PREDICATES_SV: dict[str, str] = {
+    "ligger i": "located_in",
+    "grundades av": "founded_by",
+    "är huvudstad i": "capital_of",
+    "förvärvade": "acquired",
+    "uppfann": "invented",
+    "upptäckte": "discovered",
+    "utvecklade": "developed",
+    "arbetar på": "works_at",
+    "skrev": "wrote",
+}
+PREDICATES_DA: dict[str, str] = {
+    "ligger i": "located_in",
+    "blev grundlagt af": "founded_by",
+    "er hovedstad i": "capital_of",
+    "opkøbte": "acquired",
+    "opfandt": "invented",
+    "opdagede": "discovered",
+    "udviklede": "developed",
+    "arbejder hos": "works_at",
+    "skrev": "wrote",
+}
+PREDICATES_PL: dict[str, str] = {
+    "znajduje się w": "located_in",
+    "została założona przez": "founded_by",
+    "jest stolicą": "capital_of",
+    "przejęła": "acquired",
+    "wynalazł": "invented",
+    "odkryła": "discovered",
+    "opracowała": "developed",
+    "pracuje w": "works_at",
+    "napisał": "wrote",
+}
+# 10-language dispatch — breadth parity with the reference's language map
+# (project_graph_creator.py:42-53: 10 tree-sitter languages). Lexicons
+# are deliberately small closed sets (the fixture-grammar analog of the
+# reference's per-language definition modules); unmapped phrases simply
+# don't fire.
 LANG_PREDICATES: dict[str, dict[str, str]] = {
     "en": {},
     "de": PREDICATES_DE,
@@ -126,6 +175,10 @@ LANG_PREDICATES: dict[str, dict[str, str]] = {
     "es": PREDICATES_ES,
     "it": PREDICATES_IT,
     "pt": PREDICATES_PT,
+    "nl": PREDICATES_NL,
+    "sv": PREDICATES_SV,
+    "da": PREDICATES_DA,
+    "pl": PREDICATES_PL,
 }
 
 # Leading-article strip per language (object normalization).
@@ -136,6 +189,10 @@ LANG_ARTICLES: dict[str, str] = {
     "es": r"the|a|an|el|la|los|las|un|una|unos|unas",
     "it": r"the|a|an|il|lo|la|i|gli|le|un|uno|una|l'",
     "pt": r"the|a|an|o|os|as|um|uma|uns|umas",
+    "nl": r"the|a|an|de|het|een",
+    "sv": r"the|a|an|en|ett|den|det|de",
+    "da": r"the|a|an|en|et|den|det|de",
+    "pl": r"the|a|an",  # Polish has no articles
 }
 
 _LEX_CACHE: dict[str, tuple[re.Pattern, dict[str, str], re.Pattern]] = {}

@@ -113,16 +113,39 @@ import pytest
          ("Umbrella Labs", "located_in", "Zürich")),
         ("fr", "Paris est la capitale de la France.",
          ("Paris", "capital_of", "France")),
+        ("nl", "Umbrella Labs is gevestigd in Amsterdam.",
+         ("Umbrella Labs", "located_in", "Amsterdam")),
+        ("nl", "Acme verwierf de Initech.", ("Acme", "acquired", "Initech")),
+        ("sv", "Umbrella Labs ligger i Stockholm.",
+         ("Umbrella Labs", "located_in", "Stockholm")),
+        ("sv", "Acme förvärvade Initech.", ("Acme", "acquired", "Initech")),
+        ("da", "Umbrella Labs ligger i Aarhus.",
+         ("Umbrella Labs", "located_in", "Aarhus")),
+        ("da", "Acme opkøbte Initech.", ("Acme", "acquired", "Initech")),
+        ("pl", "Umbrella Labs znajduje się w Warszawa.",
+         ("Umbrella Labs", "located_in", "Warszawa")),
+        ("pl", "Acme przejęła Initech.", ("Acme", "acquired", "Initech")),
     ],
 )
 def test_language_matrix_dispatch(lang, sentence, expected):
-    """E4 matrix across all 5 non-EN lexicons: in-language predicate
+    """E4 matrix across all 9 non-EN lexicons (10-language dispatch,
+    project_graph_creator.py:42-53 breadth analog): in-language predicate
     fires with the canonical name + article stripped; silent under EN."""
     assert _spo(sentence, lang) == [expected]
     assert _spo(sentence, "en") == []
 
 
-@pytest.mark.parametrize("lang", ["es", "it", "pt"])
+def test_sv_da_shared_surface_dispatches_in_both():
+    """'ligger i' exists in BOTH the Swedish and Danish lexicons —
+    per-language dispatch must fire it under each, proving lexicons are
+    independent even when surfaces collide."""
+    s = "Umbrella Labs ligger i Oslo."
+    assert _spo(s, "sv") == [("Umbrella Labs", "located_in", "Oslo")]
+    assert _spo(s, "da") == [("Umbrella Labs", "located_in", "Oslo")]
+    assert _spo(s, "en") == []
+
+
+@pytest.mark.parametrize("lang", ["es", "it", "pt", "nl", "sv", "da", "pl"])
 def test_new_languages_keep_en_base_active(lang):
     assert _spo("Hooli acquired Pied Piper.", lang) == [
         ("Hooli", "acquired", "Pied Piper")
