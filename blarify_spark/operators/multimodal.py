@@ -3,14 +3,28 @@
 Image/audio/video payloads are carried as `binary` columns with a typed
 metadata struct, exactly like `pages.html` carries HTML bytes. The
 decode / feature-extract steps run as Arrow-batched functions over
-`mapInPandas` — the real Spark plumbing (schema, batching, partitioning)
-is implemented and tested; the actual codec call is a STUB (the
-image/audio libraries are not in this container) behind
-`_decode_stub`, which produces a deterministic fake so the pipeline
-shape is fully exercisable.
+`mapInPandas` — batches stream through the worker, column pruning drops
+payloads after decode, and every output is deterministic in the input
+bytes.
 
-Production swap-in: replace `_decode_stub` with PIL/libav calls — the
-mapInPandas signature, batch iteration, and output schema are unchanged.
+Round-4: the hash-derived FAKE features are gone. Decoding is REAL
+byte-level parsing via blarify_spark.functions.codecs (pure stdlib — the
+sandbox has no PIL/av/cv2, probe recorded there):
+
+* images  — dimensions parsed from actual PNG/GIF/BMP/JPEG headers;
+            24bpp BMP additionally gets a full pixel decode, and resize
+            is a genuine decode → nearest-neighbor resample → re-encode.
+* audio   — stdlib `wave` PCM decode: channels/rate/frames/duration and
+            RMS energy of the real samples.
+* video   — a documented toy container (RVID: header + raw grayscale
+            frames) parsed and frame-iterated for real; NOT a standard
+            codec — swapping in libav replaces only the codec functions,
+            every Spark signature is unchanged (HAVE_PIL gates a future
+            real-library path).
+
+Features are 8-dim vectors computed from the decoded bytes (intensity
+histograms / PCM stats), so a consumer reading width/height/feature gets
+facts about the payload, not fiction.
 """
 
 from __future__ import annotations
@@ -21,6 +35,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from blarify_spark.functions import codecs
 from blarify_spark.operators.registry import register
 
 MEDIA_SCHEMA = T.StructType(
@@ -54,37 +69,80 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+_FAIL = {
+    "decode_ok": False,
+    "width": None,
+    "height": None,
+    "n_frames": None,
+    "feature": None,
+}
 
-def _decode_stub(payload: bytes | None, kind: str) -> dict:
-    """STUB decode: deterministic fake features derived from content hash.
 
-    Real implementation would be:
-        raise NotImplementedError("install pillow/av and decode here")
-    but we return a deterministic fake so the Spark plumbing (batch
-    shapes, null handling, schema) is testable end-to-end.
-    """
-    if payload is None or len(payload) == 0:
+def _hist8(buf: bytes) -> list[float]:
+    """8-bin normalized intensity histogram of real decoded bytes."""
+    counts = [0] * 8
+    for b in buf:
+        counts[b >> 5] += 1
+    n = len(buf) or 1
+    return [round(c / n, 6) for c in counts]
+
+
+def _decode_real(payload: bytes | None, kind: str) -> dict:
+    """Real byte-level decode (see module docstring). Unknown formats,
+    kind/container mismatches, and truncated payloads fail cleanly."""
+    if not payload:
+        return _FAIL
+    fmt = codecs.sniff_format(payload)
+    if kind == "image" and fmt in ("png", "gif", "bmp", "jpeg"):
+        dims = codecs.image_dims(payload)
+        if dims is None:
+            return _FAIL
+        px = codecs.bmp_pixels(payload)
+        # BMP: histogram over DECODED pixels; other formats: over the
+        # compressed payload bytes (still real bytes, documented)
+        feature = _hist8(px[2] if px else payload)
         return {
-            "decode_ok": False,
+            "decode_ok": True,
+            "width": dims[0],
+            "height": dims[1],
+            "n_frames": 1,
+            "feature": feature,
+        }
+    if kind == "audio" and fmt == "wav":
+        info = codecs.wav_info(payload)
+        if info is None:
+            return _FAIL
+        feature = [
+            float(info["channels"]),
+            round(info["rate"] / 1000.0, 6),
+            round(info["duration_ms"] / 1000.0, 6),
+            round(info["rms"] / 32768.0, 6),
+            float(info["n_frames"] % 997),
+            0.0,
+            0.0,
+            0.0,
+        ]
+        return {
+            "decode_ok": True,
             "width": None,
             "height": None,
-            "n_frames": None,
-            "feature": None,
+            "n_frames": int(info["n_frames"]),
+            "feature": feature,
         }
-    digest = hashlib.md5(payload).digest()
-    width = 64 + digest[0]
-    height = 64 + digest[1]
-    n_frames = 1 if kind == "image" else 1 + digest[2] % 32
-    feature = [
-        round((b / 255.0) * 2 - 1, 6) for b in digest[:8]
-    ]  # 8-dim fake embedding
-    return {
-        "decode_ok": True,
-        "width": int(width),
-        "height": int(height),
-        "n_frames": int(n_frames),
-        "feature": feature,
-    }
+    if kind == "video" and fmt == "rvid":
+        info = codecs.rvid_info(payload)
+        if info is None:
+            return _FAIL
+        w, h, n = info
+        first = codecs.rvid_frame(payload, 0)
+        return {
+            "decode_ok": True,
+            "width": w,
+            "height": h,
+            "n_frames": n,
+            "feature": _hist8(first or b""),
+        }
+    return _FAIL
 
 
 def decode_media(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
@@ -100,7 +158,7 @@ def decode_media(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, k)
+                _decode_real(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             out = pd.DataFrame(
@@ -126,22 +184,48 @@ def decode_media(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
 
 
 def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
-    """Deterministic fake media table (no external data)."""
+    """Deterministic REAL media table (no external data): valid 24bpp
+    BMPs, 16-bit PCM WAVs, and RVID clips, with every 17th payload null
+    and every 13th corrupted (truncated) so both failure paths stay
+    exercised."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = (
-            None
-            if i % 17 == 0
-            else hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 4)
-        )
+        if i % 17 == 0:
+            payload = None
+        else:
+            if kind == "image":
+                w, h = 8 + i % 9, 8 + i % 7
+                pixels = bytes(
+                    (x * 3 + y * 7 + i) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for _ in range(3)
+                )
+                payload = codecs.make_bmp(w, h, pixels)
+            elif kind == "audio":
+                payload = codecs.make_wav(400 + (i % 8) * 100, seed=i)
+            else:
+                w = h = 8
+                frames = [
+                    bytes((x + y + i + f) % 256 for y in range(h) for x in range(w))
+                    for f in range(1 + i % 5)
+                ]
+                payload = codecs.make_rvid(w, h, frames)
+            if i % 13 == 0:
+                # corrupt: magic survives, headers don't — every codec
+                # path must fail cleanly, not misparse
+                payload = payload[:6]
+        mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-rvid"}[
+            kind
+        ]
         rows.append(
             (
                 hashlib.md5(f"m{i}".encode()).hexdigest(),
                 kind,
                 payload,
                 (
-                    f"application/x-{kind}",
+                    mime,
                     len(payload) if payload else 0,
                     f"https://ex{i % 7}.test/media/{i}",
                 ),
@@ -174,10 +258,11 @@ FRAME_SCHEMA = T.StructType(
 def resize_media(
     media: DataFrame, target_w: int = 64, target_h: int = 64
 ) -> DataFrame:
-    """Resize step (STUB codec, real plumbing): mapInPandas 1:1 transform
-    emitting a resized payload per image. The stub derives deterministic
-    "resized" bytes from the content hash; a production swap-in calls
-    PIL.Image.resize with the identical batch iteration and schema."""
+    """REAL resize: mapInPandas 1:1 transform that pixel-decodes each
+    24bpp BMP, nearest-neighbor resamples, and re-encodes a valid BMP
+    (codecs.bmp_resize — the PIL.Image.resize stand-in with identical
+    batch iteration and schema). Non-images, undecodable payloads, and
+    non-BMP images yield null payloads."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,16 +270,24 @@ def resize_media(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                if kind != "image" or payload is None:
+                resized = (
+                    codecs.bmp_resize(payload, target_w, target_h)
+                    if kind == "image" and payload is not None
+                    else None
+                )
+                if resized is None:
                     out.append((mid, kind, None, None, None, None))
-                    continue
-                # stub: fake (target_w x target_h) grayscale buffer seeded
-                # by the content digest — size-correct, deterministic
-                seed = hashlib.md5(payload).digest()
-                buf = (seed * ((target_w * target_h) // len(seed) + 1))[
-                    : target_w * target_h
-                ]
-                out.append((mid, kind, target_w, target_h, buf, len(buf)))
+                else:
+                    out.append(
+                        (
+                            mid,
+                            kind,
+                            target_w,
+                            target_h,
+                            resized,
+                            len(resized),
+                        )
+                    )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -211,10 +304,10 @@ def resize_media(
 
 
 def sample_frames(media: DataFrame, fps_ms: int = 1000) -> DataFrame:
-    """Frame-sampling step (STUB codec, real plumbing): a row-EXPLODING
-    mapInPandas — one input video emits one row per sampled frame, the
-    batch shape a real libav-backed sampler would produce. Frame count and
-    hashes are derived deterministically from the payload digest."""
+    """REAL frame sampling: a row-EXPLODING mapInPandas — one input video
+    emits one row per ACTUAL container frame (codecs.rvid_frame), with
+    the frame hash computed over the real frame bytes. Undecodable clips
+    emit nothing (they fail in decode_media instead)."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -224,10 +317,12 @@ def sample_frames(media: DataFrame, fps_ms: int = 1000) -> DataFrame:
             ):
                 if kind != "video" or payload is None:
                     continue
-                digest = hashlib.md5(payload).digest()
-                n_frames = 1 + digest[2] % 32  # matches _decode_stub
-                for i in range(n_frames):
-                    fh = hashlib.md5(digest + i.to_bytes(4, "big")).hexdigest()
+                info = codecs.rvid_info(payload)
+                if info is None:
+                    continue
+                for i in range(info[2]):
+                    frame = codecs.rvid_frame(payload, i)
+                    fh = hashlib.md5(frame).hexdigest()
                     out.append((mid, i, i * fps_ms, fh))
             yield pd.DataFrame(
                 out,
@@ -239,8 +334,8 @@ def sample_frames(media: DataFrame, fps_ms: int = 1000) -> DataFrame:
 
 @register("multimodal_frame_sample", oracle=None)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stats per video (stub codec, real exploding
-    mapInPandas plumbing): frame counts + span from the sampled rows."""
+    """Frame-sampling stats per video (real container frame iteration):
+    frame counts + span from the sampled rows."""
     frames = sample_frames(synth_media(spark))
     return (
         frames.groupBy("media_id")
@@ -255,7 +350,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_decode_features", oracle=None)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded media features (stubbed codec, real plumbing).
+    """Decoded media features (real byte-level decode, see module
+    docstring).
 
     The registered result flattens the array<float> feature to a scalar
     string column (driver canonicalization sorts values with pandas and

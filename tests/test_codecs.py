@@ -1,0 +1,107 @@
+"""Pure-stdlib codec unit tests (round-4 real multimodal decode)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from blarify_spark.functions import codecs
+
+
+def _png(width: int, height: int) -> bytes:
+    """Minimal valid PNG (8-bit grayscale, zlib-deflated rows)."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG prefix: SOI + APP0 + SOF0 (enough for dim parsing)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_sniff_formats():
+    assert codecs.sniff_format(_png(3, 2)) == "png"
+    assert codecs.sniff_format(b"GIF89a" + bytes(8)) == "gif"
+    assert codecs.sniff_format(codecs.make_bmp(1, 1, b"\x01\x02\x03")) == "bmp"
+    assert codecs.sniff_format(_jpeg(5, 7)) == "jpeg"
+    assert codecs.sniff_format(codecs.make_wav(10)) == "wav"
+    assert codecs.sniff_format(codecs.make_rvid(1, 1, [b"x"])) == "rvid"
+    assert codecs.sniff_format(b"not a format") is None
+    assert codecs.sniff_format(None) is None
+
+
+def test_image_dims_all_headers():
+    assert codecs.image_dims(_png(13, 7)) == (13, 7)
+    gif = b"GIF89a" + struct.pack("<HH", 40, 30) + bytes(4)
+    assert codecs.image_dims(gif) == (40, 30)
+    bmp = codecs.make_bmp(4, 3, bytes(36))
+    assert codecs.image_dims(bmp) == (4, 3)
+    assert codecs.image_dims(_jpeg(21, 9)) == (21, 9)
+    # truncated headers fail instead of misparsing
+    assert codecs.image_dims(bmp[:6]) is None
+    assert codecs.image_dims(_png(5, 5)[:10]) is None
+
+
+def test_bmp_roundtrip_and_resize():
+    # 2x2 image, distinct pixels (BGR): decode must return what we encoded
+    px = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    bmp = codecs.make_bmp(2, 2, px)
+    w, h, buf = codecs.bmp_pixels(bmp)
+    assert (w, h) == (2, 2) and buf == px
+    # nearest-neighbor 2x2 -> 1x1 picks pixel (0,0)
+    small = codecs.bmp_resize(bmp, 1, 1)
+    assert codecs.image_dims(small) == (1, 1)
+    assert codecs.bmp_pixels(small)[2] == px[:3]
+    # 2x2 -> 4x4 repeats each pixel in 2x2 blocks
+    big = codecs.bmp_resize(bmp, 4, 4)
+    bw, bh, bbuf = codecs.bmp_pixels(big)
+    assert (bw, bh) == (4, 4)
+    assert bbuf[0:3] == bbuf[3:6] == px[0:3]  # top-left block
+    assert bbuf[6:9] == px[3:6]
+
+
+def test_wav_real_pcm_stats():
+    wav = codecs.make_wav(800, rate=8000, seed=3)
+    info = codecs.wav_info(wav)
+    assert info["channels"] == 1
+    assert info["rate"] == 8000
+    assert info["n_frames"] == 800
+    assert info["duration_ms"] == 100
+    assert info["rms"] > 0  # energy of the actual samples
+    # silence really measures as silence
+    silent = codecs.make_wav(0)
+    assert codecs.wav_info(silent)["rms"] == 0
+    assert codecs.wav_info(b"RIFF1234WAVE") is None
+
+
+def test_rvid_container_validates_length():
+    frames = [bytes([i] * 4) for i in range(3)]
+    clip = codecs.make_rvid(2, 2, frames)
+    assert codecs.rvid_info(clip) == (2, 2, 3)
+    assert codecs.rvid_frame(clip, 1) == frames[1]
+    assert codecs.rvid_frame(clip, 3) is None
+    # truncation is detected (header promises more bytes than present)
+    assert codecs.rvid_info(clip[:-1]) is None

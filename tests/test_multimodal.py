@@ -27,10 +27,13 @@ def test_decode_schema_and_counts(spark):
     ]
 
 
-def test_null_payloads_fail_gracefully(spark):
+def test_null_and_corrupt_payloads_fail_gracefully(spark):
     feats = decode_media(synth_media(spark, 200)).cache()
     failed = feats.filter(~F.col("decode_ok"))
-    assert failed.count() == 12  # every 17th payload is null
+    # every 17th payload is null AND every 13th is truncated-corrupt:
+    # both must fail cleanly (no misparse from a surviving magic number)
+    want = len([i for i in range(200) if i % 17 == 0 or i % 13 == 0])
+    assert failed.count() == want
     assert failed.filter(F.col("width").isNotNull()).count() == 0
     ok = feats.filter(F.col("decode_ok"))
     assert ok.filter(F.size("feature") != 8).count() == 0
@@ -49,17 +52,38 @@ def test_decode_deterministic_under_repartition(spark):
     assert a == b
 
 
-def test_resize_emits_size_correct_buffers_for_images_only(spark):
+def test_resize_emits_valid_bmps_for_images_only(spark):
+    from blarify_spark.functions import codecs
+
     media = synth_media(spark, 99).cache()
     rs = resize_media(media, target_w=32, target_h=16).cache()
     assert rs.count() == 99  # 1:1 transform
     imgs = rs.filter(
         (F.col("kind") == "image") & F.col("resized_payload").isNotNull()
-    )
-    assert imgs.count() > 0
-    assert imgs.filter(F.col("resized_bytes") != 32 * 16).count() == 0
+    ).collect()
+    assert len(imgs) > 0
+    for r in imgs:
+        # REAL re-encode: the output is itself a decodable BMP at the
+        # target size, not an opaque buffer
+        assert codecs.image_dims(bytes(r["resized_payload"])) == (32, 16)
+        assert r["resized_bytes"] == len(r["resized_payload"])
     non_img = rs.filter(F.col("kind") != "image")
     assert non_img.filter(F.col("resized_payload").isNotNull()).count() == 0
+
+
+def test_resize_pixels_come_from_source_image(spark):
+    """Nearest-neighbor ground truth through the Spark path: resizing a
+    synthetic BMP down to 1x1 must yield exactly its top-left pixel."""
+    from blarify_spark.functions import codecs
+
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    media = spark.createDataFrame(
+        [("m0", "image", codecs.make_bmp(2, 2, px), ("image/bmp", 0, "u"))],
+        schema=synth_media(spark, 1).schema,
+    )
+    row = resize_media(media, 1, 1).collect()[0]
+    out = codecs.bmp_pixels(bytes(row["resized_payload"]))
+    assert out[2] == px[:3]
 
 
 def test_frame_sampling_explodes_and_matches_decode_counts(spark):
