@@ -59,6 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
     fixture = pages_from_rows(spark, corpus.generate_pages(64))
     pages = fixture.unionByName(doc_pages)
 
+    # persist: `extracted` feeds BOTH triples_from and mentions_from in the
+    # returned plan, and without it the Arrow extraction UDF would run
+    # twice per page. Deliberately NOT unpersisted — the returned (lazy)
+    # DataFrame still depends on it and the driver collects then exits;
+    # long-lived sessions use run_pipeline, whose stages materialize to
+    # parquet instead of executor storage.
     extracted = extract_all_stage(pages).persist()
     return resolve_triples(
         triples_from(extracted), mentions_from(extracted), alias_dict(spark)

@@ -678,45 +678,58 @@ def kg_provenance_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("kg_pagerank", oracle=None)
-def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the canonical entity graph (5 fixed iterations,
-    d=0.85) — the iterative-dataflow pattern of SURVEY.md §2.6 (driver
-    loop over DataFrames, lineage cut every other round), deterministic
-    by construction. Top-10 entities by rank."""
+def kg_pagerank(
+    spark: SparkSession, sf_dir: str, n_iter: int = 10
+) -> DataFrame:
+    """PageRank over the canonical entity graph (n_iter iterations,
+    default 10, d=0.85) — the iterative-dataflow pattern of SURVEY.md
+    §2.6 (driver loop over DataFrames, lineage cut every other round),
+    deterministic by construction. Top-10 entities by rank.
+
+    Cache hygiene (round-4, VERDICT r03 #9): the per-query edge/node
+    caches are unpersisted in a finally — a long-lived session invoking
+    this repeatedly must not accumulate executor storage. The final
+    lineage cut materializes the ranks first, so the returned DataFrame
+    never re-reads the unpersisted caches."""
     kg = _kg(spark)
     edges = kg["edges"].select("subj_id", "obj_id").distinct().cache()
     nodes = kg["nodes"].select(F.col("canon_id").alias("node")).cache()
-    n_nodes = nodes.count()
+    try:
+        n_nodes = nodes.count()
 
-    out_deg = edges.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for it in range(5):
-        contribs = (
-            edges.join(ranks, edges.subj_id == ranks.node)
-            .join(out_deg, "subj_id")
-            .select(
-                F.col("obj_id").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+        out_deg = edges.groupBy("subj_id").agg(F.count(F.lit(1)).alias("deg"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        for it in range(n_iter):
+            contribs = (
+                edges.join(ranks, edges.subj_id == ranks.node)
+                .join(out_deg, "subj_id")
+                .select(
+                    F.col("obj_id").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            if it % 2 == 1:  # cut lineage every other round
+                ranks = ranks.transform(cut_lineage)
+        # eager cut: ranks are materialized independent of the caches
+        ranks = ranks.transform(cut_lineage)
+        return (
+            ranks.join(kg["nodes"], ranks.node == F.col("canon_id"))
+            .select("name", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("name"))
+            .limit(10)
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(0.15 / n_nodes)
-                + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
-            ).alias("rank"),
-        )
-        if it % 2 == 1:  # cut lineage every other round
-            ranks = ranks.transform(cut_lineage)
-    top = (
-        ranks.join(kg["nodes"], ranks.node == F.col("canon_id"))
-        .select("name", F.round("rank", 6).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("name"))
-        .limit(10)
-    )
-    return top
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
 
 
 @register("kg_degree_distribution", oracle=None)
