@@ -165,13 +165,23 @@ def lsh_bands_raw(nodes: DataFrame) -> DataFrame:
     return bands
 
 
-def cap_bands(bands: DataFrame) -> DataFrame:
-    """Drop oversized (non-discriminative) buckets before any self-join."""
-    bucket_sizes = bands.groupBy("band_key").agg(
-        F.count(F.lit(1)).alias("_bn")
-    )
+def band_bucket_sizes(bands_raw: DataFrame) -> DataFrame:
+    """(band_key, _bn) bucket histogram of a raw band table — the third
+    maintained incremental index (plans/recanon.py:bucket_sizes_patch):
+    persisting it makes cap_bands a key-pruned join instead of a
+    full-table aggregation on every probe."""
+    return bands_raw.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bn"))
+
+
+def cap_bands(bands: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
+    """Drop oversized (non-discriminative) buckets before any self-join.
+
+    sizes (optional): a pre-computed/maintained band_bucket_sizes table —
+    skips the full groupBy pass."""
+    if sizes is None:
+        sizes = band_bucket_sizes(bands)
     return bands.join(
-        bucket_sizes.filter(F.col("_bn") <= MAX_BUCKET).select("band_key"),
+        sizes.filter(F.col("_bn") <= MAX_BUCKET).select("band_key"),
         "band_key",
         "left_semi",
     )

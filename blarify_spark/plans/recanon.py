@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.plans.canonicalize import (
+    band_bucket_sizes,
     build_entity_nodes,
     cap_bands,
     connected_components,
@@ -158,6 +159,44 @@ def nodes_from_name_stats(name_stats: DataFrame) -> DataFrame:
     )
 
 
+def bucket_sizes_patch(
+    old_sizes: DataFrame,
+    old_bands_raw: DataFrame,
+    new_bands_raw: DataFrame,
+    new_nodes: DataFrame,
+) -> DataFrame:
+    """The new snapshot's band_bucket_sizes from the maintained histogram
+    plus ONLY the removed/added nodes' band rows (sizes are additive).
+    Removed and added nodes are both subsets of the changed-url delta, so
+    at real scale both legs are key-pruned probes of the persisted band
+    tables, never a fresh full-table aggregation."""
+    removed = (
+        old_bands_raw.join(new_nodes.select("node_id"), "node_id", "left_anti")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("rem"))
+    )
+    added = (
+        new_bands_raw.join(
+            old_bands_raw.select("node_id").distinct(), "node_id", "left_anti"
+        )
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("add"))
+    )
+    return (
+        old_sizes.join(removed, "band_key", "full_outer")
+        .join(added, "band_key", "full_outer")
+        .select(
+            "band_key",
+            (
+                F.coalesce("_bn", F.lit(0))
+                - F.coalesce("rem", F.lit(0))
+                + F.coalesce("add", F.lit(0))
+            ).alias("_bn"),
+        )
+        .filter(F.col("_bn") > 0)
+    )
+
+
 def bands_patch(old_bands_raw: DataFrame, new_nodes: DataFrame) -> DataFrame:
     """The new snapshot's raw band table from the old index: bands depend
     only on a node's own (immutable) name, so surviving nodes keep their
@@ -186,7 +225,11 @@ def delta_ids(
 
 
 def cap_crossing_members(
-    old_bands_raw: DataFrame, new_bands_raw: DataFrame, delta: DataFrame
+    old_bands_raw: DataFrame,
+    new_bands_raw: DataFrame,
+    delta: DataFrame,
+    old_sizes: DataFrame | None = None,
+    new_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Step 2b: node_ids of every band bucket whose size crossed
     MAX_BUCKET between the two snapshots (ADVICE r03: the cap guard is
@@ -194,7 +237,11 @@ def cap_crossing_members(
     bucket near the cap creates or destroys pairs between two untouched
     nodes). Only buckets containing a delta node can change size, so the
     candidate keys are probed from the delta — O(|delta| * BANDS) keys,
-    never a full bucket-histogram diff."""
+    never a full bucket-histogram diff.
+
+    old_sizes / new_sizes (optional): maintained band_bucket_sizes
+    histograms — when provided, bucket sizes come from a key-pruned join
+    against them instead of counting the band tables."""
     from blarify_spark.plans.canonicalize import MAX_BUCKET
 
     delta_keys = (
@@ -206,16 +253,26 @@ def cap_crossing_members(
         .distinct()
         .transform(cut_lineage)
     )
-    o_sizes = (
-        old_bands_raw.join(delta_keys, "band_key", "left_semi")
-        .groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("o_n"))
-    )
-    n_sizes = (
-        new_bands_raw.join(delta_keys, "band_key", "left_semi")
-        .groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("n_n"))
-    )
+    if old_sizes is None:
+        o_sizes = (
+            old_bands_raw.join(delta_keys, "band_key", "left_semi")
+            .groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("o_n"))
+        )
+    else:
+        o_sizes = old_sizes.join(delta_keys, "band_key", "left_semi").select(
+            "band_key", F.col("_bn").alias("o_n")
+        )
+    if new_sizes is None:
+        n_sizes = (
+            new_bands_raw.join(delta_keys, "band_key", "left_semi")
+            .groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("n_n"))
+        )
+    else:
+        n_sizes = new_sizes.join(delta_keys, "band_key", "left_semi").select(
+            "band_key", F.col("_bn").alias("n_n")
+        )
     crossed = (
         o_sizes.join(n_sizes, "band_key", "full_outer")
         .filter(
@@ -302,6 +359,8 @@ def recanonicalize_affected(
     new_nodes: DataFrame | None = None,
     bands_raw: DataFrame | None = None,
     old_bands_raw: DataFrame | None = None,
+    bucket_sizes: DataFrame | None = None,
+    old_bucket_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Patched node_id -> canon_id mapping, equal to a full
     connected-components rebuild over new_triples but recomputed only on
@@ -318,6 +377,10 @@ def recanonicalize_affected(
     the persisted index bands_raw was patched from. Needed for the
     cap-transition check (step 2b); rebuilt from old_triples when absent
     (one extra O(old corpus) columnar pass on the non-indexed path).
+    bucket_sizes / old_bucket_sizes (optional): maintained
+    band_bucket_sizes histograms of the two snapshots
+    (bucket_sizes_patch) — with them, neither the probe-time cap nor the
+    cap-transition check aggregates a band table.
     """
     if new_nodes is None:
         new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
@@ -327,7 +390,9 @@ def recanonicalize_affected(
     new_bands_raw = (
         lsh_bands_raw(new_nodes) if bands_raw is None else bands_raw
     ).transform(cut_lineage)
-    bands = cap_bands(new_bands_raw).transform(cut_lineage)
+    if bucket_sizes is None:
+        bucket_sizes = band_bucket_sizes(new_bands_raw)
+    bands = cap_bands(new_bands_raw, sizes=bucket_sizes).transform(cut_lineage)
     if old_bands_raw is None:
         old_bands_raw = lsh_bands_raw(
             build_entity_nodes(old_triples)
@@ -335,7 +400,13 @@ def recanonicalize_affected(
     delta = delta_ids(old_triples, new_triples, changed_urls).transform(
         cut_lineage
     )
-    crossing = cap_crossing_members(old_bands_raw, new_bands_raw, delta)
+    crossing = cap_crossing_members(
+        old_bands_raw,
+        new_bands_raw,
+        delta,
+        old_sizes=old_bucket_sizes,
+        new_sizes=bucket_sizes,
+    )
     subgraph_ids = affected_subgraph(
         old_triples,
         new_triples,

@@ -82,6 +82,7 @@ def main() -> None:
     from blarify_spark.plans.canonicalize import lsh_bands_raw
     from blarify_spark.plans.recanon import (
         bands_patch,
+        bucket_sizes_patch,
         changed_url_set,
         entity_name_stats,
         entity_stats_patch,
@@ -181,11 +182,17 @@ def main() -> None:
     lsh_bands_raw(
         build_entity_nodes(spark.read.parquet(f"{base}/v1/triples"))
     ).write.mode("overwrite").parquet(f"{base}/v1/bands_raw")
+    from blarify_spark.plans.canonicalize import band_bucket_sizes
+
+    band_bucket_sizes(
+        spark.read.parquet(f"{base}/v1/bands_raw")
+    ).write.mode("overwrite").parquet(f"{base}/v1/bucket_sizes")
     nodes1 = spark.read.parquet(f"{base}/v1/nodes")
     edges1 = spark.read.parquet(f"{base}/v1/edges").select(*EDGE_COLS)
     mapping1 = spark.read.parquet(f"{base}/v1/mapping")
     name_stats1 = spark.read.parquet(f"{base}/v1/name_stats")
     bands_raw1 = spark.read.parquet(f"{base}/v1/bands_raw")
+    bucket_sizes1 = spark.read.parquet(f"{base}/v1/bucket_sizes")
 
     # ---- (a) full rebuild, including the full table writes
     t0 = time.perf_counter()
@@ -244,6 +251,9 @@ def main() -> None:
         ).cache()
         new_nodes2 = nodes_from_name_stats(name_stats2).cache()
         bands_raw2 = bands_patch(bands_raw1, new_nodes2)
+        bucket_sizes2 = bucket_sizes_patch(
+            bucket_sizes1, bands_raw1, bands_raw2, new_nodes2
+        )
         new_m = recanonicalize_affected(
             t1,
             new_t,
@@ -252,6 +262,8 @@ def main() -> None:
             new_nodes=new_nodes2,
             bands_raw=bands_raw2,
             old_bands_raw=bands_raw1,
+            bucket_sizes=bucket_sizes2,
+            old_bucket_sizes=bucket_sizes1,
         ).cache()
     else:
         name_stats2 = None

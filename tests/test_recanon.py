@@ -232,9 +232,13 @@ def test_maintained_indexes_equal_rebuilt(spark):
     """The O(delta) index patches (entity_name_stats, raw bands) must
     reproduce the from-scratch structures exactly, and feeding them into
     recanonicalize/patch must still equal a full rebuild."""
-    from blarify_spark.plans.canonicalize import lsh_bands_raw
+    from blarify_spark.plans.canonicalize import (
+        band_bucket_sizes,
+        lsh_bands_raw,
+    )
     from blarify_spark.plans.recanon import (
         bands_patch,
+        bucket_sizes_patch,
         entity_name_stats,
         entity_stats_patch,
         nodes_from_name_stats,
@@ -264,6 +268,11 @@ def test_maintained_indexes_equal_rebuilt(spark):
     want = lsh_bands_raw(build_entity_nodes(new_t))
     assert rows(b2.drop("shingles")) == rows(want.drop("shingles"))
 
+    # third maintained index: the additive bucket-size histogram
+    sz1 = band_bucket_sizes(b1)
+    sz2 = bucket_sizes_patch(sz1, b1, b2, new_nodes)
+    assert rows(sz2) == rows(band_bucket_sizes(want))
+
     inc = recanonicalize_affected(
         old_t,
         new_t,
@@ -272,6 +281,8 @@ def test_maintained_indexes_equal_rebuilt(spark):
         new_nodes=new_nodes,
         bands_raw=b2,
         old_bands_raw=b1,
+        bucket_sizes=sz2,
+        old_bucket_sizes=sz1,
     )
     _, _, full_m = canonicalize(new_t)
     assert _mapping_dict(inc) == _mapping_dict(full_m)
