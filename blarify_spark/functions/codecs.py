@@ -180,19 +180,149 @@ def bmp_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
 
 
 def bmp_resize(payload: bytes, tw: int, th: int) -> bytes | None:
-    """REAL nearest-neighbor resize of a 24bpp BMP (decode → resample →
-    re-encode), numpy-vectorized — the PIL.Image.resize stand-in."""
+    """Back-compat name: nearest-neighbor resize via image_resize (which
+    also accepts 8-bit PNG input; output is always BMP)."""
+    return image_resize(payload, tw, th)
+
+
+# ---------------------------------------------------------------------------
+# PNG: full decode / encode (8-bit gray / RGB / RGBA, stdlib zlib)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def make_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Valid 8-bit RGB PNG from a raw BGR pixel buffer (len == w*h*3,
+    top-to-bottom) — filter 0 rows, one zlib IDAT."""
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    stride = width * 3
+    for y in range(height):
+        raw.append(0)  # filter type 0
+        row = pixels[y * stride : (y + 1) * stride]
+        for x in range(0, stride, 3):  # BGR -> RGB
+            raw += bytes((row[x + 2], row[x + 1], row[x]))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(width, height, top-to-bottom BGR buffer) from an 8-bit
+    non-interlaced gray/RGB/RGBA PNG — REAL pixel decode: chunk walk,
+    zlib inflate, per-row unfilter (types 0-4 incl. Paeth). Returns
+    None for palette/16-bit/interlaced images or corrupt streams."""
+    import zlib
+
+    if sniff_format(payload) != "png":
+        return None
+    try:
+        w, h = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type, _, _, interlace = struct.unpack(
+            "BBBBB", payload[24:29]
+        )
+        if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+            return None
+        # walk chunks, concatenating IDAT
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            typ = payload[i + 4 : i + 8]
+            if typ == b"IDAT":
+                idat += payload[i + 8 : i + 8 + length]
+            if typ == b"IEND":
+                break
+            i += 12 + length
+        ch = _PNG_CHANNELS[color_type]
+        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = bytearray(h * stride)
+        prev = bytes(stride)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if f == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (line[x] + line[x - ch]) & 0xFF
+            elif f == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    ul = prev[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+            elif f != 0:
+                return None
+            out[y * stride : (y + 1) * stride] = line
+            prev = bytes(line)
+    except (struct.error, zlib.error, IndexError):
+        return None
+    # normalize to 3-channel BGR
+    bgr = bytearray(w * h * 3)
+    for p in range(w * h):
+        if ch == 1:
+            v = out[p]
+            bgr[p * 3 : p * 3 + 3] = bytes((v, v, v))
+        else:
+            r, g, b = out[p * ch], out[p * ch + 1], out[p * ch + 2]
+            bgr[p * 3 : p * 3 + 3] = bytes((b, g, r))
+    return int(w), int(h), bytes(bgr)
+
+
+def image_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Pixel decode for any supported uncompressed/inflatable format
+    (24bpp BMP, 8-bit PNG)."""
+    return bmp_pixels(payload) or png_pixels(payload)
+
+
+def image_resize(payload: bytes, tw: int, th: int) -> bytes | None:
+    """REAL nearest-neighbor resize of any pixel-decodable image
+    (decode → resample → re-encode); output container is always BMP,
+    the canonical uncompressed interchange here."""
     import numpy as np
 
-    decoded = bmp_pixels(payload)
+    decoded = image_pixels(payload)
     if decoded is None:
         return None
     w, h, buf = decoded
     arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
     ys = (np.arange(th) * h // th).clip(0, h - 1)
     xs = (np.arange(tw) * w // tw).clip(0, w - 1)
-    out = arr[ys][:, xs]
-    return make_bmp(tw, th, out.tobytes())
+    return make_bmp(tw, th, arr[ys][:, xs].tobytes())
 
 
 # ---------------------------------------------------------------------------

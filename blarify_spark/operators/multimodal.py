@@ -97,9 +97,10 @@ def _decode_real(payload: bytes | None, kind: str) -> dict:
         dims = codecs.image_dims(payload)
         if dims is None:
             return _FAIL
-        px = codecs.bmp_pixels(payload)
-        # BMP: histogram over DECODED pixels; other formats: over the
-        # compressed payload bytes (still real bytes, documented)
+        px = codecs.image_pixels(payload)
+        # BMP/PNG: histogram over DECODED pixels; other formats (gif/
+        # jpeg dims-only): over the compressed payload bytes (still real
+        # bytes, documented)
         feature = _hist8(px[2] if px else payload)
         return {
             "decode_ok": True,
@@ -202,7 +203,12 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
                     for x in range(w)
                     for _ in range(3)
                 )
-                payload = codecs.make_bmp(w, h, pixels)
+                # alternate containers: both get REAL pixel decode
+                payload = (
+                    codecs.make_bmp(w, h, pixels)
+                    if (i // 3) % 2 == 0
+                    else codecs.make_png(w, h, pixels)
+                )
             elif kind == "audio":
                 payload = codecs.make_wav(400 + (i % 8) * 100, seed=i)
             else:
@@ -216,9 +222,12 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
                 # corrupt: magic survives, headers don't — every codec
                 # path must fail cleanly, not misparse
                 payload = payload[:6]
-        mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-rvid"}[
-            kind
-        ]
+        mime = {
+            "png": "image/png",
+            "bmp": "image/bmp",
+            "wav": "audio/wav",
+            "rvid": "video/x-rvid",
+        }.get(codecs.sniff_format(payload) or "", f"application/x-{kind}")
         rows.append(
             (
                 hashlib.md5(f"m{i}".encode()).hexdigest(),
@@ -259,10 +268,11 @@ def resize_media(
     media: DataFrame, target_w: int = 64, target_h: int = 64
 ) -> DataFrame:
     """REAL resize: mapInPandas 1:1 transform that pixel-decodes each
-    24bpp BMP, nearest-neighbor resamples, and re-encodes a valid BMP
-    (codecs.bmp_resize — the PIL.Image.resize stand-in with identical
-    batch iteration and schema). Non-images, undecodable payloads, and
-    non-BMP images yield null payloads."""
+    image (24bpp BMP or 8-bit PNG — full zlib inflate + unfilter),
+    nearest-neighbor resamples, and re-encodes a valid BMP
+    (codecs.image_resize — the PIL.Image.resize stand-in with identical
+    batch iteration and schema). Non-images and undecodable payloads
+    yield null payloads."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -271,7 +281,7 @@ def resize_media(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 resized = (
-                    codecs.bmp_resize(payload, target_w, target_h)
+                    codecs.image_resize(payload, target_w, target_h)
                     if kind == "image" and payload is not None
                     else None
                 )

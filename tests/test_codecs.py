@@ -83,6 +83,80 @@ def test_bmp_roundtrip_and_resize():
     assert bbuf[6:9] == px[3:6]
 
 
+def test_png_roundtrip_and_filtered_decode():
+    """Encoder->decoder round trip, plus a decode of an externally
+    FILTERED stream (Sub/Up/Average/Paeth rows) so the unfilter logic is
+    exercised against ground truth, not just our own filter-0 encoder."""
+    px = bytes([(i * 37) % 256 for i in range(6 * 4 * 3)])
+    png = codecs.make_png(6, 4, px)
+    assert codecs.sniff_format(png) == "png"
+    assert codecs.image_dims(png) == (6, 4)
+    w, h, buf = codecs.png_pixels(png)
+    assert (w, h, buf) == (6, 4, px)
+    assert codecs.image_pixels(png) == (6, 4, px)
+
+    # hand-build a 2x4 RGB PNG using one row of each filter type 1-4
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            st.pack(">I", len(data))
+            + typ
+            + data
+            + st.pack(">I", zlib.crc32(typ + data))
+        )
+
+    rows_rgb = [bytes([10, 20, 30, 40, 50, 60]),
+                bytes([15, 25, 35, 45, 55, 65]),
+                bytes([100, 110, 120, 130, 140, 150]),
+                bytes([101, 111, 121, 131, 141, 151])]
+
+    def filt(f, row, prev):
+        ch = 3
+        out = bytearray([f])
+        for x in range(len(row)):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 1:
+                out.append((row[x] - left) & 0xFF)
+            elif f == 2:
+                out.append((row[x] - up) & 0xFF)
+            elif f == 3:
+                out.append((row[x] - ((left + up) >> 1)) & 0xFF)
+            else:
+                out.append((row[x] - codecs._paeth(left, up, ul)) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(6)
+    for f, row in zip([1, 2, 3, 4], rows_rgb):
+        raw += filt(f, row, prev)
+        prev = row
+    ihdr = st.pack(">IIBBBBB", 2, 4, 8, 2, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, buf2 = codecs.png_pixels(png2)
+    assert (w2, h2) == (2, 4)
+    # decoder emits BGR; source rows are RGB
+    want = b"".join(
+        bytes((r[i + 2], r[i + 1], r[i])) for r in rows_rgb for i in (0, 3)
+    )
+    assert buf2 == want
+    # resize accepts PNG input and emits a decodable BMP
+    out = codecs.image_resize(png, 3, 2)
+    assert codecs.image_dims(out) == (3, 2)
+    # grayscale PNG decodes to replicated channels
+    gray = _png(4, 2)  # the zero-filled gray helper above
+    gw, gh, gbuf = codecs.png_pixels(gray)
+    assert (gw, gh) == (4, 2) and gbuf == bytes(4 * 2 * 3)
+
+
 def test_wav_real_pcm_stats():
     wav = codecs.make_wav(800, rate=8000, seed=3)
     info = codecs.wav_info(wav)
