@@ -379,6 +379,28 @@ def run_incremental(
         lambda: _prov("edges"),
         resume=resume,
     )
+    # ingest-session chain (PR -> commit INTEGRATION_SEQUENCE analog,
+    # relationship_creator.py:217-238): each incremental run extends the
+    # previous run's chain, so the batch's crawl history is one ordered
+    # table — integration_sequence_edges() renders it as graph edges.
+    def _chain() -> DataFrame:
+        rows = [(os.path.basename(os.path.normpath(out_dir)), prev_run_id, 0)]
+        if stage_committed(out_dir, prev_run_id, "crawl_chain"):
+            prior = spark.read.parquet(
+                os.path.join(out_dir, prev_run_id, "crawl_chain")
+            )
+            rows = [
+                (r["batch_id"], r["crawl_id"], r["ord"])
+                for r in prior.orderBy("ord").collect()  # O(#runs) rows
+            ]
+        rows.append((rows[0][0], run_id, rows[-1][2] + 1))
+        return spark.createDataFrame(
+            rows, "batch_id string, crawl_id string, ord int"
+        )
+
+    crawl_chain = materialize_stage(
+        spark, out_dir, run_id, "crawl_chain", _chain, resume=resume
+    )
     # NO "triples" key: run_pipeline's "triples" is the RAW pre-linking
     # stage, which an incremental run never materializes (only changed
     # pages re-extract). Exposing linked under the same name would give
@@ -393,6 +415,7 @@ def run_incremental(
         "changes": out["changes"],
         "prov_nodes": prov_nodes,
         "prov_edges": prov_edges,
+        "crawl_chain": crawl_chain,
     }
 
 

@@ -183,6 +183,43 @@ def test_integration_sequence_orders_crawls(spark):
     assert len({r["src_id"] for r in rows}) == 1  # one batch node
 
 
+def test_chained_incremental_runs_extend_integration_sequence(
+    spark, tmp_path
+):
+    """Two chained incremental runs accumulate one ordered crawl chain
+    (v1 -> v2 -> v3 with orders 0/1/2), renderable as
+    INTEGRATION_SEQUENCE edges (relationship_creator.py:217-238)."""
+    from blarify_spark.plans.materialize import run_incremental, run_pipeline
+
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, pages_from_rows(spark, SNAP1), out, run_id="v1")
+    run_incremental(
+        spark,
+        pages_from_rows(spark, SNAP2),
+        out,
+        run_id="v2",
+        prev_run_id="v1",
+    )
+    snap3 = SNAP2 + [_page("https://p.test/extra", ["Hooli acquired Initech."])]
+    inc3 = run_incremental(
+        spark,
+        pages_from_rows(spark, snap3),
+        out,
+        run_id="v3",
+        prev_run_id="v2",
+    )
+    chain = sorted(
+        (r["ord"], r["crawl_id"]) for r in inc3["crawl_chain"].collect()
+    )
+    assert chain == [(0, "v1"), (1, "v2"), (2, "v3")]
+    ids = [c for _, c in chain]
+    edges = integration_sequence_edges(
+        spark, inc3["crawl_chain"].collect()[0]["batch_id"], ids
+    ).collect()
+    assert len(edges) == 3
+    assert len({e["src_id"] for e in edges}) == 1
+
+
 def test_run_incremental_materializes_provenance(spark, tmp_path):
     from blarify_spark.plans.materialize import (
         run_incremental,
