@@ -989,3 +989,129 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracle-densify additions (VERDICT r04 item 5): explicit GROUPING
+# SETS (distinct from the ROLLUP/CUBE lattices above), a correlated
+# EXISTS / NOT-EXISTS combination, and an interval-overlap self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_order_margins",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+        AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_order_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — only the two single-column margins, no
+    cross terms and no grand total (neither ROLLUP nor CUBE expresses
+    this set). Catalyst expands to one Expand + partial-agg pass: one
+    scan serves both margins, vs two scans for two separate groupBys."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_money("o_totalprice").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "exists_parts_high_qty_no_returns",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey
+                        AND l2.l_returnflag = 'R' AND l2.l_quantity >= 40)
+    ORDER BY p_partkey
+    """,
+)
+def exists_parts_high_qty_no_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS: parts with at least one very-large
+    shipment and no large returned shipment. Spark expresses EXISTS as a
+    left-semi and NOT EXISTS as a left-anti hash join — both shuffle on
+    p_partkey only, with the lineitem side pre-filtered under the scan
+    (predicate pushdown), never a correlated per-row subquery loop."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    li = t["lineitem"]
+    high = li.filter(F.col("l_quantity") >= 49).select("l_partkey")
+    returned = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 40)
+    ).select("l_partkey")
+    return (
+        t["part"]
+        .join(high, F.col("p_partkey") == high["l_partkey"], "left_semi")
+        .join(
+            returned, F.col("p_partkey") == returned["l_partkey"], "left_anti"
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "interval_overlap_lineitems",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey, l_linenumber,
+             l_shipdate AS s, l_shipdate + INTERVAL 30 DAY AS e
+      FROM lineitem
+    )
+    SELECT a.l_orderkey, COUNT(*) AS n_overlap_pairs
+    FROM iv a JOIN iv b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.l_orderkey
+    ORDER BY a.l_orderkey
+    """,
+)
+def interval_overlap_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of line items of the SAME order
+    whose 30-day ship windows overlap. The equi-key (l_orderkey) makes
+    this a shuffled hash join with the range predicate as a cheap
+    residual — candidate pairs are bounded by per-order line count
+    (~7 in TPC-H), so the join is O(sum n_i^2 per order), never the
+    O(N^2) cross-range join a keyless interval join would degenerate to
+    at 100 TB."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    iv = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("s"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
+        .orderBy("l_orderkey")
+    )

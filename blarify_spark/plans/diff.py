@@ -38,16 +38,25 @@ def _content_hash(df: DataFrame) -> F.Column:
     md5-derived digest against a crawl digest can never spuriously match,
     and _warn_on_digest_family_mismatch can detect the degraded case
     (every comparison failing -> near-full recompute) instead of it
-    passing silently. Untagged ingest digests get an 'ing:' prefix;
-    already-tagged values ('md5:...', 'warc:...') pass through."""
+    passing silently. Already-tagged values ('md5:...', 'warc:...') pass
+    through. Untagged 32-char lowercase-hex values are tagged 'md5:' —
+    they can only have come from this pipeline's own pre-tagging md5
+    stage, so treating them as a foreign family would classify every
+    surviving page MODIFIED on the first post-upgrade incremental run
+    (ADVICE r04: a silent near-full recompute). Other untagged ingest
+    digests get an 'ing:' prefix."""
     if "content_hash" in df.columns:
         # trusted-complete by contract: referencing the html fallback here
         # would force deserializing the page bytes for every row even when
         # the digest is always non-null (coalesce short-circuits the md5
         # COMPUTATION but not the column READ)
         raw = F.coalesce(F.col("content_hash"), F.lit(""))
-        return F.when(raw.contains(":"), raw).otherwise(
-            F.concat(F.lit("ing:"), raw)
+        return (
+            F.when(raw.contains(":"), raw)
+            .when(
+                raw.rlike("^[0-9a-f]{32}$"), F.concat(F.lit("md5:"), raw)
+            )
+            .otherwise(F.concat(F.lit("ing:"), raw))
         )
     return F.concat(
         F.lit("md5:"),
@@ -62,25 +71,31 @@ def _warn_on_digest_family_mismatch(
     (e.g. a previous run's md5 digests vs fresh crawl digests), every
     hash comparison fails and classify degrades to labeling all surviving
     pages MODIFIED — correct output, but a silent near-full recompute.
-    Probe one tagged value per content_hash-carrying side (limit(1) on a
-    slim projection — one tiny job, only on sides that carry a digest
-    column; sides computing md5 inline are 'md5' by construction)."""
-    fams = []
+    Probe the SET of tag prefixes per content_hash-carrying side (one
+    small collect_set aggregate over a bounded sample — a single-row
+    earlier probe could nondeterministically miss a mixed-family table,
+    ADVICE r04); warn only if the two sides' family sets are DISJOINT
+    (a shared family means at least some comparisons can succeed).
+    Sides computing md5 inline are {'md5'} by construction."""
+    fams: list[set] = []
     for df in (old_pages, new_pages):
         if "content_hash" in df.columns:
             row = (
                 df.select(
                     F.substring_index(_content_hash(df), ":", 1).alias("f")
                 )
-                .limit(1)
+                .limit(4096)
+                .agg(F.collect_set("f").alias("fams"))
                 .collect()
             )
-            fams.append(row[0]["f"] if row else "md5")
+            got = set(row[0]["fams"]) if row else set()
+            fams.append(got or {"md5"})
         else:
-            fams.append("md5")
-    if fams[0] != fams[1]:
+            fams.append({"md5"})
+    if fams[0].isdisjoint(fams[1]):
         warnings.warn(
-            f"snapshot digest families differ ({fams[0]!r} vs {fams[1]!r}): "
+            f"snapshot digest families are disjoint "
+            f"({sorted(fams[0])!r} vs {sorted(fams[1])!r}): "
             "every surviving page will classify MODIFIED and the "
             "incremental path degrades to a near-full recompute. "
             "Re-ingest with matching digest algorithms, or provide "
@@ -98,7 +113,12 @@ def _relative_id() -> F.Column:
     return F.regexp_replace("url", r"^[a-z][a-z0-9+.\-]*://[^/]+", "")
 
 
-def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
+def classify_pages(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    *,
+    probe_digest_families: bool = True,
+) -> DataFrame:
     """Full-outer join on url -> (url, change, old_url, new_hash) with
     change in ADDED | DELETED | MODIFIED | MOVED | UNCHANGED. new_hash
     is the new snapshot's tagged content digest (null for DELETED) — the
@@ -109,9 +129,14 @@ def classify_pages(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
     on relative_id (blarify's renamed-path identity,
     project_graph_diff_creator.py:131-148): content-identical -> MOVED,
     content-changed -> MODIFIED; both carry old_url (null otherwise).
+
+    probe_digest_families=False skips the two small eager probe jobs on
+    hot paths where the caller already knows both sides share a family
+    (e.g. a loop re-diffing snapshots it wrote itself).
     """
-    if ("content_hash" in old_pages.columns) or (
-        "content_hash" in new_pages.columns
+    if probe_digest_families and (
+        ("content_hash" in old_pages.columns)
+        or ("content_hash" in new_pages.columns)
     ):
         _warn_on_digest_family_mismatch(old_pages, new_pages)
     o = old_pages.select(

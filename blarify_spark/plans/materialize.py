@@ -300,6 +300,13 @@ def run_incremental(
     """
     from blarify_spark.plans.diff import _content_hash
     from blarify_spark.plans.recanon import incremental_update
+    from blarify_spark.plans.workflows import (
+        PRED_BELONGS,
+        PRED_STEP,
+        WORKFLOW_URL_PREFIX,
+        materialize_workflows,
+        workflow_traces,
+    )
     from blarify_spark.sources.alias import alias_dict
 
     def _prev(stage: str) -> DataFrame:
@@ -310,27 +317,70 @@ def run_incremental(
             )
         return spark.read.parquet(os.path.join(out_dir, prev_run_id, stage))
 
+    # A previous run_pipeline(with_workflows=True) persisted the workflow
+    # layer INTO nodes/edges. Those rows must NOT pass through the patch
+    # untouched (their urls are never in changed_urls, their ids never in
+    # the mapping — the layer would go silently stale vs a full rebuild,
+    # ADVICE r04): strip them before patching, re-derive from the patched
+    # graph after.
+    prev_nodes = _prev("nodes")
+    prev_edges = _prev("edges").select(*TRIPLE_COLS)
+    _is_wf_edge = F.col("url").startswith(WORKFLOW_URL_PREFIX) | F.col(
+        "pred"
+    ).isin(PRED_BELONGS, PRED_STEP)
+    had_workflows = (
+        prev_edges.filter(_is_wf_edge).limit(1).count() > 0
+    )  # one bounded probe job
+    if had_workflows:
+        wf_ids = (
+            prev_edges.filter(F.col("pred") == PRED_BELONGS)
+            .select(F.col("obj_id").alias("canon_id"))
+            .distinct()
+        )
+        prev_nodes = prev_nodes.join(wf_ids, "canon_id", "left_anti")
+        prev_edges = prev_edges.filter(~_is_wf_edge)
+
     out = incremental_update(
         _prev("digests"),  # url + content_hash is all classify needs
         new_pages,
         _prev("linked"),
-        _prev("nodes"),
-        _prev("edges").select(*TRIPLE_COLS),
+        prev_nodes,
+        prev_edges,
         _prev("mapping"),
         alias_dict(spark),
     )
+
+    # re-materialize the workflow layer from the PATCHED graph so the
+    # incremental tables stay equivalent to a full rebuild
+    _wf_cache: dict[str, DataFrame] = {}
+
+    def _graph(which: str) -> DataFrame:
+        if not had_workflows:
+            return out[which] if which == "nodes" else out[which].select(
+                *TRIPLE_COLS
+            )
+        if not _wf_cache:
+            n = out["nodes"].transform(_cut)
+            e = out["edges"].select(*TRIPLE_COLS).transform(_cut)
+            wn, we = materialize_workflows(
+                n, e, workflow_traces({"nodes": n, "edges": e})
+            )
+            _wf_cache["nodes"] = wn
+            _wf_cache["edges"] = we
+        return _wf_cache[which]
+
     linked = materialize_stage(
         spark, out_dir, run_id, "linked", lambda: out["triples"], resume=resume
     )
     nodes = materialize_stage(
-        spark, out_dir, run_id, "nodes", lambda: out["nodes"], resume=resume
+        spark, out_dir, run_id, "nodes", lambda: _graph("nodes"), resume=resume
     )
     edges = materialize_stage(
         spark,
         out_dir,
         run_id,
         "edges",
-        lambda: out["edges"].select(*TRIPLE_COLS),
+        lambda: _graph("edges").select(*TRIPLE_COLS),
         salt_on="subj_id",
         resume=resume,
     )

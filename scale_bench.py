@@ -122,6 +122,11 @@ def main() -> None:
 # not) kept in the artifact so the judgment is auditable.
 CALM_STEAL_PCT = 0.05
 
+# SCALING_EVIDENCE.json keeps only the most recent EVIDENCE_WINDOW runs
+# (a rolling recency window, documented in the artifact's "note"/"window"
+# fields) — full longitudinal history lives in the per-round BENCH JSONs.
+EVIDENCE_WINDOW = 12
+
 
 def _is_calm(run: dict) -> bool:
     return (
@@ -132,10 +137,12 @@ def _is_calm(run: dict) -> bool:
 
 
 def _record_evidence(run: dict) -> None:
-    """Append to the FULL run history in SCALING_EVIDENCE.json (capped at
-    12; the artifact bench.py summarizes into the per-round BENCH JSON).
-    consecutive_passes counts the longest streak of calm-window runs with
-    eff >= 0.8."""
+    """Append to the ROLLING WINDOW of the most recent EVIDENCE_WINDOW
+    runs in SCALING_EVIDENCE.json (older runs age out — the artifact is
+    a recency window, NOT cumulative history; the per-round BENCH JSONs
+    and BASELINE.md round tables carry the longitudinal narrative).
+    consecutive_passes counts the longest streak of calm-window runs
+    with eff >= 0.8 within the window."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SCALING_EVIDENCE.json"
     )
@@ -150,7 +157,7 @@ def _record_evidence(run: dict) -> None:
         }
     ev["arms"] = {"n": f"local[{N}]", "4n": f"local[{4 * N}]"}
     run["calm_window"] = _is_calm(run)
-    ev["runs"] = (ev.get("runs", []) + [run])[-12:]
+    ev["runs"] = (ev.get("runs", []) + [run])[-EVIDENCE_WINDOW:]
     calm = [r for r in ev["runs"] if r.get("calm_window")]
     streak = best = 0
     for r in calm:
@@ -158,6 +165,7 @@ def _record_evidence(run: dict) -> None:
         best = max(best, streak)
     ev["consecutive_passes"] = best
     ev["calm_runs"] = len(calm)
+    ev["window"] = EVIDENCE_WINDOW
     ev["kg_pages"] = int(PAGES)
     ev["kg_facts"] = [int(FACTS_LO), int(FACTS_HI)]
     import datetime

@@ -147,7 +147,7 @@ def test_classify_warns_on_digest_family_mismatch(spark):
         [("u://a", None, b"<p>x</p>", None, "en")], pschema
     )
     foreign = spark.createDataFrame([("u://a", None, "sha1:abc")], dschema)
-    with pytest.warns(RuntimeWarning, match="digest families differ"):
+    with pytest.warns(RuntimeWarning, match="digest families are disjoint"):
         got = {
             r["url"]: r["change"]
             for r in classify_pages(foreign, new).collect()
@@ -164,6 +164,22 @@ def test_classify_warns_on_digest_family_mismatch(spark):
         _w.simplefilter("error", RuntimeWarning)
         got = {
             r["url"]: r["change"] for r in classify_pages(own, new).collect()
+        }
+    assert got == {"u://a": "UNCHANGED"}
+
+    # legacy UNtagged md5 hex (written by a pre-tagging version of this
+    # pipeline) must be recognized as the md5 family (ADVICE r04) — no
+    # warning, and the page classifies UNCHANGED, not MODIFIED
+    legacy = own.select(
+        "url",
+        "warc_ts",
+        F.regexp_replace("content_hash", "^md5:", "").alias("content_hash"),
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        got = {
+            r["url"]: r["change"]
+            for r in classify_pages(legacy, new).collect()
         }
     assert got == {"u://a": "UNCHANGED"}
 

@@ -474,3 +474,56 @@ def test_run_incremental_materializes_and_equals_full_pipeline(spark, tmp_path):
     assert rows(inc["mapping"]) == rows(full["mapping"])
     changes = {r["url"]: r["change"] for r in inc["changes"].collect()}
     assert changes["https://r.test/a"] == "MODIFIED"
+
+
+def test_run_incremental_refreshes_persisted_workflow_layer(spark, tmp_path):
+    """ADVICE r04: a workflow layer persisted by a prior
+    run_pipeline(with_workflows=True) must not pass through the
+    incremental patch untouched (its urls are never in changed_urls, its
+    ids never in the mapping — it would go silently stale). run_incremental
+    strips the layer before patching and re-derives it from the patched
+    graph, so incremental tables == full rebuild WITH workflows."""
+    from blarify_spark.plans.materialize import run_incremental, run_pipeline
+    from blarify_spark.plans.workflows import PRED_BELONGS, PRED_STEP
+
+    out = str(tmp_path / "kg")
+    run_pipeline(
+        spark,
+        pages_from_rows(spark, SNAP1),
+        out,
+        run_id="v1",
+        with_workflows=True,
+    )
+    inc = run_incremental(
+        spark,
+        pages_from_rows(spark, SNAP2),
+        out,
+        run_id="v2",
+        prev_run_id="v1",
+    )
+
+    out_full = str(tmp_path / "kg_full")
+    full = run_pipeline(
+        spark,
+        pages_from_rows(spark, SNAP2),
+        out_full,
+        run_id="vf",
+        with_workflows=True,
+    )
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(inc["nodes"]) == rows(full["nodes"])
+    assert rows(inc["edges"]) == rows(full["edges"])
+    # and the refreshed layer is actually present (not merely stripped)
+    wf_preds = {
+        r["pred"]
+        for r in inc["edges"]
+        .filter(F.col("pred").isin(PRED_BELONGS, PRED_STEP))
+        .select("pred")
+        .distinct()
+        .collect()
+    }
+    assert PRED_BELONGS in wf_preds
