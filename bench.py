@@ -48,6 +48,20 @@ KG_FACTS_HI = int(os.environ.get("SPARK_GRAFT_KG_FACTS_HI", "5"))
 # canonicalization real merge work at bench scale
 KG_SYNTH = int(os.environ.get("SPARK_GRAFT_KG_SYNTH", "2000"))
 
+# Calm-window retry: the sandbox host has noisy-neighbor CPU steal that
+# swings timings 2-3x; a steal-contaminated artifact cannot evidence a
+# perf claim. Steal over the whole timed region must stay <= CALM_PCT or
+# the attempt is retried (all attempts are embedded in the JSON either
+# way). KG-only mode (scale_bench.py) does its own per-arm retry, so it
+# defaults to a single attempt here.
+CALM_PCT = float(os.environ.get("SPARK_GRAFT_BENCH_CALM_PCT", "0.5"))
+ATTEMPTS = int(
+    os.environ.get(
+        "SPARK_GRAFT_BENCH_ATTEMPTS",
+        "1" if os.environ.get("SPARK_GRAFT_BENCH_KG_ONLY") == "1" else "3",
+    )
+)
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,11 +133,6 @@ def main() -> None:
     headline = (
         [] if os.environ.get("SPARK_GRAFT_BENCH_KG_ONLY") == "1" else HEADLINE
     )
-    for name in headline:
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
 
     # KG pipeline throughput (triples/sec, BASELINE.json metric) — the
     # fused single-Python-crossing plan (extract_all_stage): html enters
@@ -160,47 +169,102 @@ def main() -> None:
     warm_ex.unpersist()
     warm_pages.unpersist()
 
-    cpu0 = _cpu_sample()
-    t0 = time.perf_counter()
-    extracted = extract_all_stage(pages).persist()
-    triples = resolve_triples(
-        triples_from(extracted), mentions_from(extracted), alias_dict(spark)
-    ).persist()
-    n_triples = triples.count()
-    kg_sec = time.perf_counter() - t0
-    kg_steal_pct = _steal_pct(cpu0, _cpu_sample())
-    timings["kg_pipeline"] = round(kg_sec, 3)
+    def run_attempt() -> dict:
+        """One full timed pass (headline queries + KG pipeline [+ canon]),
+        with machine-wide steal sampled across the WHOLE timed region and
+        the KG sub-region separately — each attempt is self-evidencing."""
+        timings: dict[str, float] = {}
+        all0 = _cpu_sample()
+        t_all = time.perf_counter()
+        for name in headline:
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
-    # canonicalization stage (MinHash-LSH blocking + connected components)
-    n_nodes = n_edges = None
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_CANON") != "1":
-        from blarify_spark.plans.canonicalize import canonicalize
-
+        cpu0 = _cpu_sample()
         t0 = time.perf_counter()
-        nodes, edges, _ = canonicalize(triples)
-        n_nodes = nodes.count()
-        n_edges = edges.count()
-        canon_sec = time.perf_counter() - t0
-        timings["kg_canonicalize"] = round(canon_sec, 3)
-    extracted.unpersist()
-    triples.unpersist()
-    total = round(sum(timings.values()), 3)
+        extracted = extract_all_stage(pages).persist()
+        triples = resolve_triples(
+            triples_from(extracted), mentions_from(extracted), alias_dict(spark)
+        ).persist()
+        n_triples = triples.count()
+        kg_sec = time.perf_counter() - t0
+        kg_steal_pct = _steal_pct(cpu0, _cpu_sample())
+        timings["kg_pipeline"] = round(kg_sec, 3)
+
+        # canonicalization (MinHash-LSH blocking + connected components)
+        n_nodes = n_edges = None
+        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_CANON") != "1":
+            from blarify_spark.plans.canonicalize import canonicalize
+
+            t0 = time.perf_counter()
+            nodes, edges, _ = canonicalize(triples)
+            n_nodes = nodes.count()
+            n_edges = edges.count()
+            timings["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
+        extracted.unpersist()
+        triples.unpersist()
+        return {
+            "total": round(sum(timings.values()), 3),
+            "wall_sec": round(time.perf_counter() - t_all, 3),
+            "queries": timings,
+            "steal_pct": _steal_pct(all0, _cpu_sample()),
+            "kg_steal_pct": kg_steal_pct,
+            "kg_sec": kg_sec,
+            "kg_triples": n_triples,
+            "kg_nodes": n_nodes,
+            "kg_edges": n_edges,
+        }
+
+    # Calm-window retry (round-4 verdict: the shipped artifact must prove
+    # its own claim): accept the first attempt whose machine-wide steal
+    # stayed <= CALM_PCT over the ENTIRE timed region; otherwise retry up
+    # to ATTEMPTS times and headline the fastest attempt (the estimator
+    # least biased by external steal), with EVERY attempt embedded in the
+    # artifact so a noisy number is never mistaken for a calm one.
+    attempts: list[dict] = []
+    for _ in range(ATTEMPTS):
+        a = run_attempt()
+        a["calm"] = a["steal_pct"] <= CALM_PCT
+        attempts.append(a)
+        if a["calm"]:
+            break
+    chosen = next(
+        (a for a in attempts if a["calm"]),
+        min(attempts, key=lambda a: a["total"]),
+    )
     print(
         json.dumps(
             {
                 "metric": "total_runtime",
-                "value": total,
+                "value": chosen["total"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": chosen["queries"],
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 "kg_pages": KG_PAGES,
                 "kg_facts": [KG_FACTS_LO, KG_FACTS_HI],
-                "kg_triples": n_triples,
-                "kg_nodes": n_nodes,
-                "kg_edges": n_edges,
-                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
-                "kg_steal_pct": kg_steal_pct,
+                "kg_triples": chosen["kg_triples"],
+                "kg_nodes": chosen["kg_nodes"],
+                "kg_edges": chosen["kg_edges"],
+                "kg_triples_per_sec": round(
+                    chosen["kg_triples"] / chosen["kg_sec"], 1
+                ),
+                "kg_steal_pct": chosen["kg_steal_pct"],
+                "steal_pct": chosen["steal_pct"],
+                "calm": chosen["calm"],
+                "calm_threshold_pct": CALM_PCT,
+                "attempts": [
+                    {
+                        "total": a["total"],
+                        "kg_pipeline": a["queries"]["kg_pipeline"],
+                        "steal_pct": a["steal_pct"],
+                        "kg_steal_pct": a["kg_steal_pct"],
+                        "calm": a["calm"],
+                    }
+                    for a in attempts
+                ],
                 "scaling_evidence": _scaling_evidence(),
             }
         )
