@@ -121,6 +121,21 @@ def _kg_incr(spark: SparkSession) -> dict[str, DataFrame]:
     return _CACHE2[key]
 
 
+def clear_kg_caches() -> None:
+    """Unpersist and drop every memoized fixture-graph DataFrame
+    (_CACHE / _CACHE_WF / _CACHE2). The memoization is deliberate for
+    the driver's 85-query sweep, but a long-lived session (notebook,
+    service) must be able to release the ~12 cached DataFrames instead
+    of holding executor storage for its lifetime — same hygiene class as
+    kg_pagerank's unpersist-in-finally (VERDICT r04)."""
+    for cache in (_CACHE, _CACHE_WF, _CACHE2):
+        for entry in cache.values():
+            for v in entry.values():
+                if isinstance(v, DataFrame):
+                    v.unpersist()
+        cache.clear()
+
+
 @register("kg_flagship_triples", oracle=None)
 def kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship output: entity-resolved (subj, pred, obj) with

@@ -60,22 +60,31 @@ def workflow_traces(
     enumeration from entry-point entities with per-root longest-common-
     prefix computation.
 
-    Paths accumulate id AND name arrays through <= max_depth frontier
-    joins (reference depth cap 20, queries.py:938); the cycle guard and
-    the LCP run on canon_ids (blarify's NODE_PATH uniqueness — distinct
-    entities sharing a display name must not block each other), names
-    ride along for rendering only. Every window is partitioned by root
-    (blarify dedups per entry point), so no global single-task sort
-    exists at any scale. Each round's frontier is counted (the same job
-    that detects exhaustion) and a frontier larger than max_frontier
-    raises WorkflowExplosionError rather than silently truncating.
+    Paths accumulate ONLY id arrays through <= max_depth frontier joins
+    (reference depth cap 20, queries.py:938); the cycle guard and the
+    LCP run on canon_ids (blarify's NODE_PATH uniqueness — distinct
+    entities sharing a display name must not block each other). Names
+    are for rendering only, so they are resolved ONCE after the loop
+    (posexplode -> one name join -> re-assemble), not joined per round —
+    the loop shuffles the narrowest possible frontier rows and each
+    round is a single frontier-edges join. Every window is partitioned
+    by root (blarify dedups per entry point), so no global single-task
+    sort exists at any scale. Each round runs exactly ONE driver action:
+    a count over the lazily-checkpointed extension, which materializes
+    the checkpoint, detects exhaustion (0) and raises
+    WorkflowExplosionError above max_frontier rather than silently
+    truncating.
 
     Returns one row per (root, path): root, root_name, path_str, ids,
     names, path_rank, lcp (id-level shared prefix with the previous path
     of the same root).
     """
-    edges = kg["edges"].select("subj_id", "obj_id").distinct()
-    names = kg["nodes"].select("canon_id", "name")
+    # materialize the two loop-invariant sides ONCE: every round's
+    # frontier join re-reads them, and an un-cut edges.distinct() would
+    # re-shuffle the full edge table up to max_depth times (plus one
+    # AQE broadcast-build job per round per side)
+    edges = cut_lineage(kg["edges"].select("subj_id", "obj_id").distinct())
+    names = cut_lineage(kg["nodes"].select("canon_id", "name"))
 
     roots = (
         kg["nodes"]
@@ -87,7 +96,6 @@ def workflow_traces(
         .select(
             F.col("canon_id").alias("node"),
             F.array("canon_id").alias("ids"),
-            F.array("name").alias("names"),
         )
     )
     complete = roots.filter(F.lit(False))  # empty, same schema
@@ -98,19 +106,23 @@ def workflow_traces(
         e_i = edges.select(
             F.col("subj_id").alias(f"src_{i}"), F.col("obj_id").alias(f"dst_{i}")
         )
-        n_i = names.select(
-            F.col("canon_id").alias(f"nid_{i}"), F.col("name").alias(f"nm_{i}")
-        )
-        ext = (
-            frontier.join(e_i, frontier.node == F.col(f"src_{i}"))
-            .join(n_i, F.col(f"dst_{i}") == F.col(f"nid_{i}"))
-            .filter(~F.array_contains(F.col("ids"), F.col(f"dst_{i}")))
-            .transform(cut_lineage)
+        # lazy lineage cut: the count below is the round's ONE driver
+        # action — it computes the join, persists the checkpoint blocks
+        # (first action over a non-eager checkpoint materializes it), and
+        # returns the frontier size in the same job. The former shape
+        # (eager checkpoint + separate bounded count) ran 2 jobs/round
+        # for the same work: the eager checkpoint already materialized
+        # every partition, so the limit on the count bounded nothing
+        # (VERDICT r04 #4).
+        ext = cut_lineage(
+            frontier.join(e_i, frontier.node == F.col(f"src_{i}")).filter(
+                ~F.array_contains(F.col("ids"), F.col(f"dst_{i}"))
+            ),
+            eager=False,
         )
         step = ext.select(
             F.col(f"dst_{i}").alias("node"),
             F.concat(F.col("ids"), F.array(f"dst_{i}")).alias("ids"),
-            F.concat(F.col("names"), F.array(f"nm_{i}")).alias("names"),
         )
         # paths that produced NO extension are complete — checked against
         # the actual extensions, not just head out-degree, so a path whose
@@ -123,10 +135,10 @@ def workflow_traces(
         )
         complete = complete.unionByName(ended)
         frontier = step
-        # one bounded job answers BOTH loop questions: 0 -> exhausted,
-        # > max_frontier -> explosion (limit keeps the job from scanning
-        # an unbounded frontier just to count it)
-        n_frontier = frontier.limit(max_frontier + 1).count()
+        # one job answers BOTH loop questions (0 -> exhausted,
+        # > max_frontier -> explosion) AND materializes the checkpoint:
+        # step/ended read the persisted blocks, never recompute the join
+        n_frontier = ext.count()
         if n_frontier == 0:
             break
         if n_frontier > max_frontier:
@@ -136,16 +148,32 @@ def workflow_traces(
             )
     complete = complete.unionByName(frontier)
 
-    paths = (
-        complete.select(
-            F.col("ids")[0].alias("root"),
-            F.element_at("names", 1).alias("root_name"),
-            F.array_join("names", " > ").alias("path_str"),
-            F.array_join("ids", ">").alias("id_path"),
-            "ids",
-            "names",
+    # Resolve display names ONCE for the completed path set: explode the
+    # id arrays with position, one equi-join against the (small,
+    # materialized) names table, re-assemble in order. At 100 TB this is
+    # one shuffle over O(total path length) rows instead of max_depth
+    # name joins riding every frontier shuffle.
+    id_paths = complete.select(
+        F.array_join("ids", ">").alias("id_path"), "ids"
+    ).dropDuplicates(["id_path"])
+    named = (
+        id_paths.select("id_path", F.posexplode("ids").alias("pos", "canon_id"))
+        .join(names, "canon_id")
+        .groupBy("id_path")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "name"))),
+                lambda s: s["name"],
+            ).alias("names")
         )
-        .dropDuplicates(["id_path"])
+    )
+    paths = id_paths.join(named, "id_path").select(
+        F.col("ids")[0].alias("root"),
+        F.element_at("names", 1).alias("root_name"),
+        F.array_join("names", " > ").alias("path_str"),
+        "id_path",
+        "ids",
+        "names",
     )
     w = W.partitionBy("root").orderBy("path_str", "id_path")
     prev_ids = F.lag("ids").over(w)

@@ -200,3 +200,33 @@ def test_neighborhood_surfaces_workflow_membership(spark):
     assert PRED_BELONGS in preds
     # and the content-edge neighborhood is still there
     assert len(preds - {PRED_BELONGS, PRED_STEP}) >= 1
+
+
+def test_trace_loop_driver_job_budget(spark):
+    """VERDICT r04 #4: the DFS loop must run ONE driver action per round
+    (a count that also materializes the round's lineage cut), with the
+    loop-invariant edge/name sides materialized once — not an eager
+    checkpoint PLUS a count per round with a per-round names join. A
+    10-node chain (9 extension rounds + 1 exhaustion round) stayed ~82
+    total jobs under the old shape; the single-action loop runs ~55.
+    Bound at 70 so a regression to two actions per round fails."""
+    sc = spark.sparkContext
+    nodes = [(n, n) for n in "abcdefghij"]
+    edges = [(a, b) for a, b in zip("abcdefghi", "bcdefghij")]
+    kg = {
+        "nodes": spark.createDataFrame(nodes, "canon_id string, name string"),
+        "edges": spark.createDataFrame(edges, "subj_id string, obj_id string"),
+    }
+    sc.setJobGroup("wf_job_budget", "trace loop job budget")
+    try:
+        traces = workflow_traces(kg)
+        n_jobs = len(
+            sc.statusTracker().getJobIdsForGroup("wf_job_budget")
+        )
+    finally:
+        sc.setJobGroup("", "")
+    assert n_jobs <= 70, f"DFS loop ran {n_jobs} jobs for a 10-node chain"
+    # and the traversal is still correct end-to-end
+    rows = traces.collect()
+    full = [r for r in rows if r["root_name"] == "a"]
+    assert len(full) == 1 and len(full[0]["ids"]) == 10
