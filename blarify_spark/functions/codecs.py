@@ -13,6 +13,12 @@ codec:
 * full pixel decode + nearest-neighbor resize + re-encode for
   uncompressed 24bpp BMP (the format synth media uses, so the resize
   stage is a genuine decode→transform→encode)
+* GIF first-frame pixel decode — sub-block reassembly, variable-width
+  LZW inflate (CLEAR/END, KwKwK, growth to 12 bits), de-interlace,
+  palette mapping onto the logical screen — plus a matching LZW
+  encoder in make_gif so tests exercise real table growth. JPEG stays
+  dims-only permanently (entropy decode + IDCT is not reasonable
+  pure-stdlib).
 * WAV PCM decode via stdlib `wave` + `audioop` (channels, rate, frames,
   RMS energy)
 * RVID — a tiny DOCUMENTED toy video container
@@ -303,10 +309,219 @@ def png_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     return int(w), int(h), bytes(bgr)
 
 
+# ---------------------------------------------------------------------------
+# GIF: full first-frame pixel decode (pure-stdlib LZW) + tiny encoder
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """GIF-variant LZW: variable code width (LSB-first bit packing),
+    CLEAR/END control codes, table growth to 12 bits. Returns the index
+    stream, or None on a corrupt code sequence."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while bitpos + code_size <= total_bits:
+        code = (stream >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == end:
+            break
+        if code == clear:
+            code_size = min_code_size + 1
+            del table[clear + 2 :]
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK deferred-code case
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Matching GIF-LZW encoder (used by make_gif, so decoder tests
+    exercise real table growth, not a degenerate clear-per-code
+    stream)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4097:  # table full: reset (rare in tests)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = wc[-1:]
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Valid GIF89a from a raw BGR pixel buffer (len == w*h*3,
+    top-to-bottom): palette built from the distinct colors (<= 256),
+    REAL LZW-compressed image data."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    colors: dict[bytes, int] = {}
+    indices = bytearray()
+    for p in range(width * height):
+        c = pixels[p * 3 : p * 3 + 3]
+        if c not in colors:
+            if len(colors) == 256:
+                raise ValueError("more than 256 distinct colors")
+            colors[c] = len(colors)
+        indices.append(colors[c])
+    # palette size = next power of two >= len(colors), min 2
+    bits = max(2, (len(colors) - 1).bit_length() or 1)
+    palette = bytearray()
+    for c in colors:  # insertion order == index order; BGR -> RGB
+        palette += bytes((c[2], c[1], c[0]))
+    palette += b"\x00" * ((1 << bits) * 3 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF0 | (bits - 1), 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)  # no LCT
+    mcs = max(2, bits)
+    out.append(mcs)
+    lzw = _lzw_encode(bytes(indices), mcs)
+    for i in range(0, len(lzw), 255):  # sub-block framing
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(width, height, top-to-bottom BGR buffer) of the FIRST frame,
+    composed onto the logical screen (background-filled when the frame
+    is smaller) — REAL pixel decode: block walk, sub-block reassembly,
+    LZW inflate, optional de-interlace, palette mapping. Returns None
+    for corrupt streams or a missing color table."""
+    if sniff_format(payload) != "gif":
+        return None
+    try:
+        sw, sh, packed, bg, _ = struct.unpack("<HHBBB", payload[6:13])
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[i : i + n * 3]
+            i += n * 3
+        # walk blocks to the first image descriptor
+        while i < len(payload):
+            b = payload[i]
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while i < len(payload) and payload[i] != 0:
+                    i += payload[i] + 1
+                i += 1
+            elif b == 0x2C:
+                break
+            else:  # trailer (0x3B) or junk before any image
+                return None
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+        i += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = payload[i : i + n * 3]
+            i += n * 3
+        if ct is None or w == 0 or h == 0:
+            return None
+        mcs = payload[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(payload) and payload[i] != 0:
+            n = payload[i]
+            lzw += payload[i + 1 : i + 1 + n]
+            i += 1 + n
+        indices = _lzw_decode(bytes(lzw), mcs)
+        if indices is None or len(indices) < w * h:
+            return None
+        if ipacked & 0x40:  # de-interlace
+            deinter = bytearray(w * h)
+            src = 0
+            for start, stepping in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, stepping):
+                    deinter[y * w : (y + 1) * w] = indices[src : src + w]
+                    src += w
+            indices = bytes(deinter)
+        n_colors = len(ct) // 3
+        bg_rgb = (
+            ct[bg * 3 : bg * 3 + 3] if gct is not None and bg < n_colors else b"\x00\x00\x00"
+        )
+        bgr = bytearray(bytes((bg_rgb[2], bg_rgb[1], bg_rgb[0])) * (sw * sh))
+        for y in range(min(h, sh - top)):
+            for x in range(min(w, sw - left)):
+                idx = indices[y * w + x]
+                if idx >= n_colors:
+                    return None
+                p = ((top + y) * sw + (left + x)) * 3
+                bgr[p] = ct[idx * 3 + 2]
+                bgr[p + 1] = ct[idx * 3 + 1]
+                bgr[p + 2] = ct[idx * 3]
+    except (struct.error, IndexError):
+        return None
+    return int(sw), int(sh), bytes(bgr)
+
+
 def image_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     """Pixel decode for any supported uncompressed/inflatable format
-    (24bpp BMP, 8-bit PNG)."""
-    return bmp_pixels(payload) or png_pixels(payload)
+    (24bpp BMP, 8-bit PNG, GIF first frame via pure-stdlib LZW)."""
+    return bmp_pixels(payload) or png_pixels(payload) or gif_pixels(payload)
 
 
 def image_resize(payload: bytes, tw: int, th: int) -> bytes | None:

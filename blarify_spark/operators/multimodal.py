@@ -98,9 +98,11 @@ def _decode_real(payload: bytes | None, kind: str) -> dict:
         if dims is None:
             return _FAIL
         px = codecs.image_pixels(payload)
-        # BMP/PNG: histogram over DECODED pixels; other formats (gif/
-        # jpeg dims-only): over the compressed payload bytes (still real
-        # bytes, documented)
+        # BMP/PNG/GIF: histogram over DECODED pixels (GIF via pure-stdlib
+        # LZW since round 5). JPEG is dims-only PERMANENTLY — entropy
+        # decode + IDCT is not reasonable pure-stdlib; its feature is a
+        # histogram over the compressed payload bytes (documented) until
+        # a real codec library is available (HAVE_PIL).
         feature = _hist8(px[2] if px else payload)
         return {
             "decode_ok": True,
