@@ -21,3 +21,18 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def cut_lazy(df: DataFrame) -> DataFrame:
+    """cut_lineage with DEFERRED materialization: the checkpoint blocks
+    persist inside the next action that covers the DataFrame instead of
+    a standalone job, fusing the lineage cut into work that runs anyway
+    (reuse across later consumers is unchanged — the first covering
+    action materializes the blocks once).
+
+    Use when every consumer is a full-coverage action (join, aggregate,
+    count, write). Keep the EAGER form when the checkpoint must
+    materialize before a side effect invalidates its inputs (e.g.
+    overwriting a parquet path the plan reads) or when the next consumer
+    might execute only some partitions (limit-style)."""
+    return cut_lineage(df, eager=False)

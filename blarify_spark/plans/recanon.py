@@ -53,7 +53,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.checkpoint import cut_lazy
 from blarify_spark.plans.canonicalize import (
     band_bucket_sizes,
     build_entity_nodes,
@@ -251,7 +251,7 @@ def cap_crossing_members(
             new_bands_raw.join(delta, "node_id", "left_semi").select("band_key")
         )
         .distinct()
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
     if old_sizes is None:
         o_sizes = (
@@ -318,12 +318,12 @@ def affected_subgraph(
     # 1. delta entities: mentioned on a changed url in either snapshot
     if delta is None:
         delta = delta_ids(old_triples, new_triples, changed_urls).transform(
-            cut_lineage
+            cut_lazy
         )
 
     # 2. LSH probe of the new corpus from the delta side only
     probe_pairs = pairs_from_bands(bands, probe_ids=delta).transform(
-        cut_lineage
+        cut_lazy
     )
     touched = (
         delta.unionAll(probe_pairs.select(F.col("src").alias("node_id")))
@@ -347,7 +347,7 @@ def affected_subgraph(
         .unionAll(touched)
         .distinct()
         .join(new_nodes, "node_id", "left_semi")  # only nodes that still exist
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
 
 
@@ -383,22 +383,22 @@ def recanonicalize_affected(
     cap-transition check aggregates a band table.
     """
     if new_nodes is None:
-        new_nodes = build_entity_nodes(new_triples).transform(cut_lineage)
+        new_nodes = build_entity_nodes(new_triples).transform(cut_lazy)
     # the LSH band table, built ONCE (or patched from the persisted index
     # at real scale) and probed three times: delta probe, cap-transition
     # key probe, subgraph pair pull
     new_bands_raw = (
         lsh_bands_raw(new_nodes) if bands_raw is None else bands_raw
-    ).transform(cut_lineage)
+    ).transform(cut_lazy)
     if bucket_sizes is None:
         bucket_sizes = band_bucket_sizes(new_bands_raw)
-    bands = cap_bands(new_bands_raw, sizes=bucket_sizes).transform(cut_lineage)
+    bands = cap_bands(new_bands_raw, sizes=bucket_sizes).transform(cut_lazy)
     if old_bands_raw is None:
         old_bands_raw = lsh_bands_raw(
             build_entity_nodes(old_triples)
-        ).transform(cut_lineage)
+        ).transform(cut_lazy)
     delta = delta_ids(old_triples, new_triples, changed_urls).transform(
-        cut_lineage
+        cut_lazy
     )
     crossing = cap_crossing_members(
         old_bands_raw,
@@ -472,7 +472,7 @@ def patch_canonical_tables(
             | (F.col("old_canon") != F.col("canon_id"))
         )
         .select("node_id")
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
     # gone nodes' canons also need re-aggregation (their counts shrink)
     gone_nodes = old_mapping.join(
@@ -492,7 +492,7 @@ def patch_canonical_tables(
         delta_nodes.unionAll(gone_nodes)
         .unionAll(changed_ents)
         .distinct()
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
 
     # affected canons, in BOTH labelings (old rows to drop, new to rebuild)
@@ -505,7 +505,7 @@ def patch_canonical_tables(
         new_mapping.join(dirty, "node_id", "left_semi")
         .select("canon_id")
         .distinct()
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
     # every current member of a dirty canon (the whole group re-aggregates)
     dirty_members = new_mapping.join(
@@ -618,7 +618,7 @@ def incremental_update(
     from blarify_spark.plans.linking import resolve_triples
 
     changes = classify_pages(old_pages, new_pages)
-    changed = changed_url_set(changes).transform(cut_lineage)
+    changed = changed_url_set(changes).transform(cut_lazy)
 
     # re-extract + re-link only the changed pages (one Python crossing
     # over the delta, never the corpus); resolve_triples is the same
@@ -629,7 +629,7 @@ def incremental_update(
     new_triples = (
         old_triples.join(changed, "url", "left_anti")
         .unionByName(fresh)
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
 
     new_mapping = recanonicalize_affected(

@@ -50,12 +50,28 @@ def run_arm(path: str) -> dict:
     }
 
 
+# A rep run with machine-wide steal above this is retried (up to
+# AB_RETRIES extra times) — a periodic external load otherwise
+# contaminates whichever arm its phase lands on.
+CALM_PCT = float(os.environ.get("AB_CALM_PCT", "1.0"))
+RETRIES = int(os.environ.get("AB_RETRIES", "2"))
+
+
 def main() -> None:
     arms = {os.path.basename(os.path.abspath(a)) or a: a for a in sys.argv[1:]}
+    names = list(arms)
     results: dict[str, list[dict]] = {k: [] for k in arms}
     for rep in range(REPS):
-        for name, path in arms.items():  # interleaved: same window per rep
-            r = run_arm(path)
+        # rotate the arm order each rep: a fixed order lets any periodic
+        # host load bias a fixed slot (observed round-5: the 3rd-slot arm
+        # caught the steal spike in all three reps)
+        order = names[rep % len(names) :] + names[: rep % len(names)]
+        for name in order:
+            for attempt in range(1 + RETRIES):
+                r = run_arm(arms[name])
+                if (r.get("kg_steal_pct") or 0.0) <= CALM_PCT:
+                    break
+            r["retries"] = attempt
             results[name].append(r)
             print(f"rep{rep} {name}: {r}", flush=True)
     summary = {
@@ -63,6 +79,14 @@ def main() -> None:
             "runs": rs,
             "median_sec": statistics.median(r["kg_pipeline"] for r in rs),
             "best_sec": min(r["kg_pipeline"] for r in rs),
+            "best_calm_sec": min(
+                (
+                    r["kg_pipeline"]
+                    for r in rs
+                    if (r["kg_steal_pct"] or 99) <= CALM_PCT
+                ),
+                default=None,
+            ),
             "max_steal_pct": max(
                 (r["kg_steal_pct"] or 0) for r in rs
             ),

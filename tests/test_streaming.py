@@ -229,3 +229,84 @@ def test_stateful_sessionize_far_late_event_is_own_session(spark, tmp_path):
         ("d.test", epoch, epoch + 60, 2),  # the late pair, own session
         ("d.test", epoch + 3600, epoch + 3600, 1),  # original open session
     ]
+
+
+def test_streaming_kg_update_matches_batch_incremental(spark, tmp_path):
+    """VERDICT r04 #4: the streaming twin must emit the round-4 layers —
+    MODIFIED_BY/AFFECTS provenance, the crawl chain, and the persisted
+    workflow layer — identically to the batch path on the same delta.
+    The foreachBatch sink reuses run_pipeline/run_incremental with run
+    ids deterministic in the streaming batch_id, so the comparison is
+    table-for-table equality against a batch run using the same ids.
+
+    File-source deltas carry adds/modifies only (absent != deleted, the
+    updated-files contract), so the fixture's deleted url is re-added
+    unchanged to the second snapshot for both paths."""
+    from blarify_spark.plans.materialize import run_incremental, run_pipeline
+    from blarify_spark.streaming.incremental import streaming_kg_update
+    from blarify_spark.streaming.pipeline import stream_pages
+
+    rows = corpus.generate_pages(24)
+    snap2 = corpus.generate_incremental_snapshot(rows)
+    urls1 = {p["url"] for p in rows}
+    urls2 = {p["url"] for p in snap2}
+    by_url1 = {p["url"]: p for p in rows}
+    # no-deletion second snapshot: re-add the deleted page unchanged
+    snap2_full = snap2 + [by_url1[u] for u in urls1 - urls2]
+    by_url2 = {p["url"]: p for p in snap2_full}
+    delta = [
+        p
+        for p in snap2_full
+        if p["url"] not in by_url1 or by_url1[p["url"]] != p
+    ]
+    assert delta, "fixture must contain added/modified pages"
+
+    # --- streaming path: two availableNow drains over a file source ---
+    src = str(tmp_path / "src")
+    out_s = str(tmp_path / "kg_stream")
+    ckpt = str(tmp_path / "ckpt")
+    pages_from_rows(spark, rows).repartition(1).write.mode("append").parquet(
+        src
+    )
+    streaming_kg_update(stream_pages(spark, src), out_s, ckpt)
+    pages_from_rows(spark, delta).repartition(1).write.mode("append").parquet(
+        src
+    )
+    streaming_kg_update(stream_pages(spark, src), out_s, ckpt)
+
+    # --- batch path, same run ids ---
+    out_b = str(tmp_path / "kg_batch")
+    run_pipeline(
+        spark,
+        pages_from_rows(spark, rows),
+        out_b,
+        run_id="b000000",
+        with_workflows=True,
+    )
+    inc = run_incremental(
+        spark,
+        pages_from_rows(spark, snap2_full),
+        out_b,
+        run_id="b000001",
+        prev_run_id="b000000",
+    )
+
+    from collections import Counter
+
+    def rows_of(df):
+        cols = sorted(df.columns)
+        return Counter(tuple(r) for r in df.select(*cols).collect())
+
+    for stage in ["prov_edges", "prov_nodes", "nodes", "edges", "mapping"]:
+        got = spark.read.parquet(os.path.join(out_s, "b000001", stage))
+        assert rows_of(got) == rows_of(inc[stage]), stage
+    # the workflow layer is present in the streaming tables
+    from blarify_spark.plans.workflows import PRED_BELONGS
+
+    sedges = spark.read.parquet(os.path.join(out_s, "b000001", "edges"))
+    assert sedges.filter(F.col("pred") == PRED_BELONGS).count() > 0
+    # and the crawl chain orders the two streaming ingests
+    chain = spark.read.parquet(
+        os.path.join(out_s, "b000001", "crawl_chain")
+    ).orderBy("ord")
+    assert [r["crawl_id"] for r in chain.collect()] == ["b000000", "b000001"]
