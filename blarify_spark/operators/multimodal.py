@@ -188,9 +188,9 @@ def decode_media(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
 
 def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
     """Deterministic REAL media table (no external data): valid 24bpp
-    BMPs, 16-bit PCM WAVs, and RVID clips, with every 17th payload null
-    and every 13th corrupted (truncated) so both failure paths stay
-    exercised."""
+    BMPs, 8-bit PNGs, LZW GIFs, 16-bit PCM WAVs, and RVID clips, with
+    every 17th payload null and every 13th corrupted (truncated) so both
+    failure paths stay exercised."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -205,12 +205,13 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
                     for x in range(w)
                     for _ in range(3)
                 )
-                # alternate containers: both get REAL pixel decode
-                payload = (
-                    codecs.make_bmp(w, h, pixels)
-                    if (i // 3) % 2 == 0
-                    else codecs.make_png(w, h, pixels)
-                )
+                # rotate containers: all three get REAL pixel decode
+                # (the grayscale pixel ramp keeps distinct colors <= 256,
+                # so the GIF palette path is always encodable)
+                maker = (codecs.make_bmp, codecs.make_png, codecs.make_gif)[
+                    (i // 3) % 3
+                ]
+                payload = maker(w, h, pixels)
             elif kind == "audio":
                 payload = codecs.make_wav(400 + (i % 8) * 100, seed=i)
             else:
@@ -226,6 +227,7 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
                 payload = payload[:6]
         mime = {
             "png": "image/png",
+            "gif": "image/gif",
             "bmp": "image/bmp",
             "wav": "audio/wav",
             "rvid": "video/x-rvid",
