@@ -124,7 +124,12 @@ def entity_stats_patch(
     changed_urls: DataFrame,
 ) -> DataFrame:
     """The new snapshot's entity_name_stats from the old index plus ONLY
-    the changed urls' endpoint contributions (counts are additive)."""
+    the changed urls' endpoint contributions (counts are additive).
+
+    Both triple arguments are read only through changed-url semi-joins,
+    so callers holding partition-pruned views covering the changed urls
+    should pass those instead of the full tables — identical output,
+    O(delta partitions) scanned instead of the corpus."""
     rem = (
         _endpoints(old_triples.join(changed_urls, "url", "left_semi"))
         .groupBy("node_id", "name")
@@ -214,7 +219,14 @@ def bands_patch(old_bands_raw: DataFrame, new_nodes: DataFrame) -> DataFrame:
 def delta_ids(
     old_triples: DataFrame, new_triples: DataFrame, changed_urls: DataFrame
 ) -> DataFrame:
-    """Step 1: entities mentioned on a changed url in either snapshot."""
+    """Step 1: entities mentioned on a changed url in either snapshot.
+
+    Only changed-url rows contribute, so callers holding a
+    partition-pruned view covering the changed urls (e.g. the probe's
+    pb-bucketed triple tables) may pass it in place of the full tables —
+    the semi-join below cannot push a DataFrame key set into a parquet
+    scan, so pre-pruning is what turns this from O(corpus) to O(delta)
+    at scale."""
     return (
         _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
         .unionAll(
@@ -361,6 +373,8 @@ def recanonicalize_affected(
     old_bands_raw: DataFrame | None = None,
     bucket_sizes: DataFrame | None = None,
     old_bucket_sizes: DataFrame | None = None,
+    old_triples_delta: DataFrame | None = None,
+    new_triples_delta: DataFrame | None = None,
 ) -> DataFrame:
     """Patched node_id -> canon_id mapping, equal to a full
     connected-components rebuild over new_triples but recomputed only on
@@ -381,6 +395,13 @@ def recanonicalize_affected(
     band_bucket_sizes histograms of the two snapshots
     (bucket_sizes_patch) — with them, neither the probe-time cap nor the
     cap-transition check aggregates a band table.
+    old_triples_delta / new_triples_delta (optional): partition-pruned
+    views of the triple tables covering every changed url (e.g. the
+    probe's pb-bucketed affected partitions). The delta-entity step only
+    reads changed-url rows, and a DataFrame key set cannot push into a
+    parquet scan — with these views the step scans O(delta partitions)
+    instead of the full corpus. Results are identical by construction
+    (rows outside changed urls never contribute).
     """
     if new_nodes is None:
         new_nodes = build_entity_nodes(new_triples).transform(cut_lazy)
@@ -397,9 +418,11 @@ def recanonicalize_affected(
         old_bands_raw = lsh_bands_raw(
             build_entity_nodes(old_triples)
         ).transform(cut_lazy)
-    delta = delta_ids(old_triples, new_triples, changed_urls).transform(
-        cut_lazy
-    )
+    delta = delta_ids(
+        old_triples_delta if old_triples_delta is not None else old_triples,
+        new_triples_delta if new_triples_delta is not None else new_triples,
+        changed_urls,
+    ).transform(cut_lazy)
     crossing = cap_crossing_members(
         old_bands_raw,
         new_bands_raw,
@@ -446,10 +469,19 @@ def patch_canonical_tables(
     new_mapping: DataFrame,
     changed_urls: DataFrame,
     name_stats: DataFrame | None = None,
+    old_triples_delta: DataFrame | None = None,
+    new_triples_delta: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Patch the materialized (nodes, edges) to the new snapshot given
     the old tables and the patched mapping — only affected canons are
     re-aggregated and only affected urls re-mapped.
+
+    old_triples_delta / new_triples_delta (optional): partition-pruned
+    views covering every changed url (see recanonicalize_affected) —
+    used ONLY for the changed-url endpoint step, which reads nothing
+    outside the changed urls; the full new_triples stays required for
+    the dirty-canon re-aggregation fallback and the edge rewrite (both
+    can touch unchanged pages).
 
     old_triples is required for the dirty set (ADVICE r03): an entity
     whose mention is REMOVED by a modified page but which survives on
@@ -483,10 +515,12 @@ def patch_canonical_tables(
     # removed mentions of entities that survive on unchanged pages
     # (new-side alone misses them — their stale n_mentions/name would
     # ship in the patched table)
+    _ntd = new_triples_delta if new_triples_delta is not None else new_triples
+    _otd = old_triples_delta if old_triples_delta is not None else old_triples
     changed_ents = _endpoint_ids(
-        new_triples.join(changed_urls, "url", "left_semi")
+        _ntd.join(changed_urls, "url", "left_semi")
     ).unionAll(
-        _endpoint_ids(old_triples.join(changed_urls, "url", "left_semi"))
+        _endpoint_ids(_otd.join(changed_urls, "url", "left_semi"))
     )
     dirty = (
         delta_nodes.unionAll(gone_nodes)

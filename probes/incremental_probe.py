@@ -243,11 +243,26 @@ def main() -> None:
     _t = _tick("fresh-extract+triple-patch", _t)
 
     new_t = spark.read.parquet(f"{base}/v2inc/triples").select(*TRIPLE_COLS)
+    # partition-pruned delta views: every changed url lives in
+    # affected_pb, so the changed-url-only steps (delta entities, stats
+    # patch, dirty endpoints) scan ONLY these partitions — this is the
+    # at-scale shape (a url key-set semi-join cannot prune a parquet
+    # scan by itself)
+    t1_delta = (
+        spark.read.parquet(f"{base}/v1/triples")
+        .filter(F.col("pb").isin(affected_pb))
+        .select(*TRIPLE_COLS)
+    )
+    new_t_delta = (
+        spark.read.parquet(f"{base}/v2inc/triples")
+        .filter(F.col("pb").isin(affected_pb))
+        .select(*TRIPLE_COLS)
+    )
     if USE_INDEXES:
         # patch the maintained indexes in O(delta), then recanonicalize
         # with zero full-corpus aggregations
         name_stats2 = entity_stats_patch(
-            name_stats1, t1, new_t, changed
+            name_stats1, t1_delta, new_t_delta, changed
         ).cache()
         new_nodes2 = nodes_from_name_stats(name_stats2).cache()
         bands_raw2 = bands_patch(bands_raw1, new_nodes2)
@@ -264,10 +279,19 @@ def main() -> None:
             old_bands_raw=bands_raw1,
             bucket_sizes=bucket_sizes2,
             old_bucket_sizes=bucket_sizes1,
+            old_triples_delta=t1_delta,
+            new_triples_delta=new_t_delta,
         ).cache()
     else:
         name_stats2 = None
-        new_m = recanonicalize_affected(t1, new_t, changed, mapping1).cache()
+        new_m = recanonicalize_affected(
+            t1,
+            new_t,
+            changed,
+            mapping1,
+            old_triples_delta=t1_delta,
+            new_triples_delta=new_t_delta,
+        ).cache()
     new_m.count()
     _t = _tick("recanonicalize", _t)
 
@@ -324,6 +348,8 @@ def main() -> None:
         new_m,
         changed,
         name_stats=name_stats2,
+        old_triples_delta=t1_delta,
+        new_triples_delta=new_t_delta,
     )
     edges.withColumn("pb", pb()).write.mode("overwrite").partitionBy(
         "pb"

@@ -527,3 +527,58 @@ def test_run_incremental_refreshes_persisted_workflow_layer(spark, tmp_path):
         .collect()
     }
     assert PRED_BELONGS in wf_preds
+
+
+def test_delta_view_params_are_equality_preserving(spark):
+    """Round-5: the changed-url-only steps accept partition-pruned
+    triple views (the O(corpus) -> O(delta partitions) scan fix). Any
+    view COVERING the changed urls must yield bit-identical mappings
+    and patched tables."""
+    from blarify_spark.plans.canonicalize import canonicalize
+    from blarify_spark.plans.recanon import patch_canonical_tables
+
+    old_t = _linked(spark, SNAP1)
+    new_t = _linked(spark, SNAP2)
+    changes = classify_pages(
+        pages_from_rows(spark, SNAP1), pages_from_rows(spark, SNAP2)
+    )
+    changed = changed_url_set(changes)
+    old_nodes, old_edges, old_mapping = canonicalize(old_t)
+
+    # a covering pruned view: only rows whose url is in the changed set
+    # (the tightest legal view; a pb-partition view is a superset of it)
+    old_delta = old_t.join(changed, "url", "left_semi")
+    new_delta = new_t.join(changed, "url", "left_semi")
+
+    m_full = recanonicalize_affected(old_t, new_t, changed, old_mapping)
+    m_view = recanonicalize_affected(
+        old_t,
+        new_t,
+        changed,
+        old_mapping,
+        old_triples_delta=old_delta,
+        new_triples_delta=new_delta,
+    )
+    assert _mapping_dict(m_full) == _mapping_dict(m_view)
+
+    n_full, e_full = patch_canonical_tables(
+        old_nodes, old_edges, old_t, new_t, old_mapping, m_full, changed
+    )
+    n_view, e_view = patch_canonical_tables(
+        old_nodes,
+        old_edges,
+        old_t,
+        new_t,
+        old_mapping,
+        m_view,
+        changed,
+        old_triples_delta=old_delta,
+        new_triples_delta=new_delta,
+    )
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(n_full) == rows(n_view)
+    assert rows(e_full) == rows(e_view)
