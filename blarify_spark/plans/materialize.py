@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -108,17 +110,44 @@ def materialize_stage(
     """Run one pipeline stage with checkpoint-resume semantics.
 
     If the (run_id, stage) manifest exists, the stage is skipped and its
-    output is read back (exactly-once). Otherwise compute -> write ->
-    commit manifest.
+    output is read back (exactly-once). Otherwise compute -> write to a
+    UNIQUE staging directory -> atomic rename claim -> commit manifest.
 
     Stage data is namespaced by run_id (out_dir/run_id/stage) so two runs
     over the same out_dir cannot cross-contaminate: a second run_id that
     crashes mid-write can never corrupt what the first run_id's manifest
     points at (its data lives in a different directory).
+
+    Concurrent-writer isolation (the Iceberg optimistic-concurrency
+    commit semantic, minus the catalog — reference idempotent-merge
+    contract: blarify neo4j_manager.py:128-142): each writer lands its
+    parquet in out_dir/run_id/.staging/<stage>-<unique>, then CLAIMS the
+    final path with one atomic directory rename. Exactly one writer's
+    rename succeeds; losers discard their staging output and adopt the
+    winner's table (stages are deterministic, so the data is identical).
+    Readers therefore never observe a half-written final directory, and
+    two racing writers can no longer interleave a destructive overwrite.
+    A complete-but-uncommitted final directory (winner crashed between
+    rename and manifest) is adopted and committed on the next attempt;
+    a partial legacy directory (no parquet _SUCCESS) is discarded.
     """
     path = os.path.join(out_dir, run_id, stage)
     if resume and stage_committed(out_dir, run_id, stage):
         return spark.read.parquet(path)
+
+    def _adopt() -> DataFrame:
+        out = spark.read.parquet(path)
+        if not stage_committed(out_dir, run_id, stage):
+            _commit_stage(out, out_dir, run_id, stage, path)
+        return out
+
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # complete data landed by a concurrent or crashed writer:
+            # the rename claim is atomic, so _SUCCESS implies the whole
+            # table — adopt it instead of recomputing
+            return _adopt()
+        shutil.rmtree(path)  # partial pre-staging-layout write
 
     df = compute()
     if salt_on is not None:
@@ -131,11 +160,19 @@ def materialize_stage(
             F.col(salt_on),
             F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS)),
         )
+    staging = os.path.join(
+        out_dir, run_id, ".staging", f"{stage}-{uuid.uuid4().hex}"
+    )
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
-
+    writer.parquet(staging)
+    try:
+        os.rename(staging, path)  # atomic claim: exactly one winner
+    except OSError:
+        # lost the race — a concurrent writer claimed the path first
+        shutil.rmtree(staging, ignore_errors=True)
+        return _adopt()
     out = spark.read.parquet(path)
     _commit_stage(out, out_dir, run_id, stage, path)
     return out

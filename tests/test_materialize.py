@@ -317,3 +317,80 @@ def test_classify_pages_uses_ingest_time_content_hash(spark):
     # same digest -> UNCHANGED, still no byte hashing needed
     same = classify_pages(old, old).collect()
     assert same[0]["change"] == "UNCHANGED"
+
+
+def test_stage_commit_adopts_complete_uncommitted_data(spark, tmp_path):
+    """OCC commit protocol (round 5): a complete final directory whose
+    writer crashed between the atomic rename and the manifest write is
+    ADOPTED (stages are deterministic) — compute must not re-run."""
+    from blarify_spark.plans.materialize import (
+        materialize_stage,
+        read_manifest,
+        stage_committed,
+    )
+
+    out = str(tmp_path / "kg")
+    df = spark.range(10).withColumnRenamed("id", "v")
+    got = materialize_stage(spark, out, "r1", "s", lambda: df, resume=True)
+    assert got.count() == 10
+    # simulate the crash window: manifest gone, data complete
+    from blarify_spark.plans.materialize import _manifest_path
+    os.remove(_manifest_path(out, "r1", "s"))
+    assert not stage_committed(out, "r1", "s")
+
+    def _boom():
+        raise AssertionError("compute must not re-run over complete data")
+
+    adopted = materialize_stage(spark, out, "r1", "s", _boom, resume=True)
+    assert adopted.count() == 10
+    assert stage_committed(out, "r1", "s")
+    assert read_manifest(out, "r1", "s")["rows_out"] == 10
+
+
+def test_stage_commit_loser_adopts_winners_table(spark, tmp_path):
+    """OCC commit protocol: when a concurrent writer claims the final
+    path between this writer's compute and its rename, the rename fails
+    atomically and the loser adopts the winner's table; the loser's
+    staging output is discarded."""
+    from blarify_spark.plans.materialize import (
+        _manifest_path,
+        materialize_stage,
+    )
+
+    out = str(tmp_path / "kg")
+    winner = spark.range(7).withColumnRenamed("id", "v")
+
+    def compute_and_lose():
+        # side effect: the "concurrent" winner lands and claims the
+        # path while this writer is still computing; dropping its
+        # manifest makes the loser exercise the rename-conflict adopt
+        # (not the resume fast path)
+        materialize_stage(
+            spark, out, "r1", "s", lambda: winner, resume=True
+        )
+        os.remove(_manifest_path(out, "r1", "s"))
+        return spark.range(999).withColumnRenamed("id", "v")
+
+    got = materialize_stage(
+        spark, out, "r1", "s", compute_and_lose, resume=False
+    )
+    # the pre-compute check saw no final dir (the winner landed DURING
+    # compute), so the conflict surfaces at rename time
+    assert got.count() == 7  # the winner's table, not the loser's 999
+    staging = os.path.join(out, "r1", ".staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_stage_commit_discards_partial_final_dir(spark, tmp_path):
+    """A final directory WITHOUT parquet _SUCCESS (a partial write from
+    the pre-staging layout) is discarded and recomputed."""
+    from blarify_spark.plans.materialize import materialize_stage
+
+    out = str(tmp_path / "kg")
+    partial = os.path.join(out, "r1", "s")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-garbage"), "w") as fh:
+        fh.write("not parquet")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    got = materialize_stage(spark, out, "r1", "s", lambda: df, resume=True)
+    assert got.count() == 5
