@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blarify_spark.functions.checkpoint import cut_lazy
+from blarify_spark.functions.checkpoint import cut_lineage
 
 # MinHash-LSH parameters: H = BANDS * ROWS_PER_BAND.
 NUM_HASHES = 32
@@ -273,7 +273,7 @@ def connected_components(
     # lineage would re-execute per round
     sym = pairs.select("src", "dst").union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(cut_lazy)
+    ).transform(cut_lineage)
     # Iterate ONLY over pair-connected nodes: near-duplicate clusters are
     # a tiny fraction of a web corpus, so every loop job runs on the
     # small connected subset; singletons get identity labels via one
@@ -281,7 +281,7 @@ def connected_components(
     connected = sym.select(F.col("src").alias("node_id")).distinct()
     labels = connected.select(
         F.col("node_id"), F.col("node_id").alias("canon_id")
-    ).transform(cut_lazy)
+    ).transform(cut_lineage)
 
     prev_sig = None
     for _ in range(max_rounds):
@@ -310,7 +310,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lab").alias("canon_id"))
             .withColumnRenamed("src", "node_id")
-            .transform(cut_lazy)
+            .transform(cut_lineage)
         )
         # convergence check: order-independent signature of the labeling
         # (one narrow aggregate — no join) compared across rounds;
