@@ -1115,3 +1115,37 @@ def interval_overlap_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          < CASE WHEN o_orderpriority = '1-URGENT' THEN '33' ELSE '1a' END
+    ORDER BY o_orderkey
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data staple: a
+    content-hash predicate samples ~20% of urgent orders and ~10% of the
+    rest, REPRODUCIBLY across engines, runs, and cluster sizes (no RNG
+    state, no per-partition seeds — the sample is a pure function of the
+    key, so re-runs and backfills select identical rows). The predicate
+    is a scan-level filter: at 100 TB this samples inside the parquet
+    scan with zero shuffle, and composing rates per stratum is one CASE
+    expression. Hex-prefix comparison: '1a'/'100' ~ 10.2%, '33' ~ 20%."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    threshold = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit("33")
+    ).otherwise(F.lit("1a"))
+    return (
+        t["orders"]
+        .filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+            < threshold
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -349,3 +349,58 @@ def events_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_drawdown, schema=schema)
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+      FROM documents
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM words),
+    stats AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_tf
+      FROM words GROUP BY w
+    )
+    SELECT w, doc_freq, total_tf,
+           CAST(total_tf AS DOUBLE) * (SELECT n_docs FROM n) / doc_freq
+             AS df_scaled_tf
+    FROM stats
+    ORDER BY df_scaled_tf DESC, w
+    LIMIT 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics with a tf-idf-style score: per term,
+    document frequency, total term frequency, and total_tf * N / df — a
+    df-normalized frequency that is rank-equivalent to tf-idf for fixed
+    N while staying EXACT (int-ratio in float64, so the DuckDB oracle
+    matches bit-for-bit; a log-based idf can differ in the last ulp
+    between libm implementations). One explode + two aggregations, all
+    codegen; the per-term shuffle is keyed by the term (uniform at web
+    scale after lowercasing), and the top-50 is a TakeOrdered, never a
+    global sort."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = t["documents"].select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    n_docs = words.select("doc_id").distinct().count()
+    stats = words.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    return (
+        stats.select(
+            "w",
+            "doc_freq",
+            "total_tf",
+            (
+                F.col("total_tf").cast("double")
+                * F.lit(n_docs)
+                / F.col("doc_freq")
+            ).alias("df_scaled_tf"),
+        )
+        .orderBy(F.col("df_scaled_tf").desc(), "w")
+        .limit(50)
+    )
