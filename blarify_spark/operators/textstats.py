@@ -404,3 +404,78 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df_scaled_tf").desc(), "w")
         .limit(50)
     )
+
+
+# Context-window budget for sequence packing (tokens per training chunk).
+PACK_BUDGET = 256
+
+
+@register(
+    "pack_documents_into_contexts",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS start_offset,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY
+                doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY
+                doc_id ROWS UNBOUNDED PRECEDING) - 1)
+                / {PACK_BUDGET}) AS BIGINT)
+             <> CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER
+                BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {PACK_BUDGET}) AS BIGINT) AS crosses_boundary
+    FROM d ORDER BY shard, doc_id
+    """,
+)
+def pack_documents_into_contexts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence packing for pretraining (concat-and-chunk): documents
+    are laid end-to-end in deterministic order and cut into
+    PACK_BUDGET-token context windows; each doc gets its shard, token
+    count, start offset in the shard's token stream, owning chunk id,
+    and whether it straddles a chunk boundary. Packing is PER SHARD
+    (md5-prefix of doc_id, 16 shards) so the running-sum window is
+    partitioned — no global single-task sort exists at any scale, and
+    shards are independent units a 1000-executor job distributes
+    freely; a global pack would serialize the corpus through one
+    window. Deterministic end-to-end: shard, order, and offsets are
+    pure functions of doc_id and text."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    from pyspark.sql import Window as W
+
+    d = t["documents"].select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "shard"
+        ),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    end = F.sum("n_tokens").over(w)
+    start = (end - F.col("n_tokens")).alias("start_offset")
+    chunk = F.floor((end - F.col("n_tokens")) / PACK_BUDGET).alias("chunk_id")
+    last_chunk = F.floor((end - 1) / PACK_BUDGET)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        chunk,
+        (last_chunk != F.floor((end - F.col("n_tokens")) / PACK_BUDGET)).alias(
+            "crosses_boundary"
+        ),
+    ).orderBy("shard", "doc_id")
