@@ -148,3 +148,18 @@ def test_linking_uses_broadcast_alias_join(spark):
     )
     plan = _plan(link_mentions(mentions_from(pages), alias_dict(spark)))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_contexts_windows_are_partitioned_by_shard(spark):
+    """Round-5 sequence packing: the running-sum window must be
+    partitioned (per md5 shard) — an empty partition spec would funnel
+    the whole corpus through one task at scale."""
+    from blarify_spark.operators.registry import all_queries
+
+    df = all_queries()["pack_documents_into_contexts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    specs = _window_specs(_plan(df))
+    assert specs, "expected a window operator in the packing plan"
+    for spec in specs:
+        assert spec.split("#")[0].strip().startswith("shard"), spec
