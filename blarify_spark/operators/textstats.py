@@ -419,21 +419,20 @@ PACK_BUDGET = 256
              len(list_filter(string_split(text, ' '), x -> x <> ''))
                AS n_tokens
       FROM documents
+    ), r AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS endpos
+      FROM d
     )
     SELECT doc_id, shard, n_tokens,
-           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - n_tokens
-                AS BIGINT) AS start_offset,
-           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY
-                doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
-                / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
-           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY
-                doc_id ROWS UNBOUNDED PRECEDING) - 1)
-                / {PACK_BUDGET}) AS BIGINT)
-             <> CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER
-                BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
-                / {PACK_BUDGET}) AS BIGINT) AS crosses_boundary
-    FROM d ORDER BY shard, doc_id
+           endpos - n_tokens AS start_offset,
+           CAST(FLOOR((endpos - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+             AS chunk_id,
+           CAST(FLOOR((endpos - 1) / {PACK_BUDGET}) AS BIGINT)
+             <> CAST(FLOOR((endpos - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+             AS crosses_boundary
+    FROM r ORDER BY shard, doc_id
     """,
 )
 def pack_documents_into_contexts(
