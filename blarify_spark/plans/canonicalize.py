@@ -49,6 +49,11 @@ ROUNDS_MAX = 20
 # similar pair inside also collides in a smaller bucket of another band
 # with high probability.
 MAX_BUCKET = 256
+# Similarity graphs with at most this many (directed) pair rows take the
+# local union-find path inside connected_components — ~32 MB of id pairs,
+# the same order as a broadcast-join threshold. Larger graphs run the
+# distributed min-propagation loop.
+CC_LOCAL_MAX_PAIRS = 1_000_000
 
 # Corporate/organizational suffix tokens ignored for name similarity.
 _SUFFIXES = ["inc", "corp", "corporation", "ltd", "llc", "co", "company", "gmbh"]
@@ -274,6 +279,51 @@ def connected_components(
     sym = pairs.select("src", "dst").union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(cut_lineage)
+
+    # Adaptive physical strategy (the broadcast-join-threshold idea
+    # applied to graph labeling): a near-dup similarity graph is usually
+    # a TINY fraction of the corpus, and the distributed loop costs
+    # 2 driver actions x ~5 rounds of pure job latency regardless of
+    # data size. When the pair set provably fits the driver (bounded
+    # probe, same class as a 10MB broadcast), run union-find locally in
+    # O(pairs a(n)) and skip the loop entirely; anything larger takes
+    # the distributed path. Labels are identical: both compute
+    # canon = min(node_id) over each connected component.
+    probe = sym.limit(CC_LOCAL_MAX_PAIRS + 1).count()
+    if probe <= CC_LOCAL_MAX_PAIRS:
+        rows = sym.collect()  # <= ~32MB of id pairs by the bound above
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # min-id representative keeps labels identical to the
+                # min-propagation loop
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels_rows = sorted(
+            {(x, find(x)) for x in set(parent) | {r[0] for r in rows}}
+        )
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(
+            labels_rows or [], "node_id string, canon_id string"
+        )
+        return nodes.select("node_id").join(
+            labels.select(F.col("node_id").alias("n2"), "canon_id"),
+            F.col("node_id") == F.col("n2"),
+            "left",
+        ).select(
+            "node_id",
+            F.coalesce("canon_id", "node_id").alias("canon_id"),
+        )
     # Iterate ONLY over pair-connected nodes: near-duplicate clusters are
     # a tiny fraction of a web corpus, so every loop job runs on the
     # small connected subset; singletons get identity labels via one

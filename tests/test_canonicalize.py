@@ -147,3 +147,41 @@ def test_exact_canonical_counts_pinned(spark, fixture_pages):
     assert lt.count() == 186
     assert nodes.count() == 38
     assert edges.count() == 186
+
+
+def test_cc_local_and_distributed_paths_agree(spark, monkeypatch):
+    """Round-5 adaptive CC: the local union-find fast path (small pair
+    graphs) must produce labels identical to the distributed
+    min-propagation loop — both pick min(node_id) per component."""
+    import blarify_spark.plans.canonicalize as C
+
+    pairs = spark.createDataFrame(
+        [
+            ("b", "a", 1.0),  # chain a-b-c
+            ("c", "b", 1.0),
+            ("e", "d", 1.0),  # pair d-e
+            ("x", "y", 1.0),  # order-reversed pair
+        ],
+        "src string, dst string, jaccard double",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in ["a", "b", "c", "d", "e", "x", "y", "solo"]],
+        "node_id string",
+    )
+
+    local = {
+        r["node_id"]: r["canon_id"]
+        for r in C.connected_components(nodes, pairs).collect()
+    }
+    monkeypatch.setattr(C, "CC_LOCAL_MAX_PAIRS", -1)  # force the loop
+    looped = {
+        r["node_id"]: r["canon_id"]
+        for r in C.connected_components(nodes, pairs).collect()
+    }
+    assert local == looped
+    assert local == {
+        "a": "a", "b": "a", "c": "a",
+        "d": "d", "e": "d",
+        "x": "x", "y": "x",
+        "solo": "solo",
+    }
