@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.partitioning import fan_out
 from blarify_spark.operators.registry import register
 from blarify_spark.sources.tables import load_tables
 
@@ -189,7 +190,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus is re-scanned and re-shingled up to 4x (the round-2 perf
     # regression)
     sh0 = (
-        t["documents"]
+        fan_out(t["documents"])
         .filter(F.size(nonempty) >= NGRAM_N)
         .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
         .transform(cut_lineage)
@@ -256,7 +257,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-scanning and re-shingling the corpus per consumer
     nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     docs = (
-        t["documents"]
+        fan_out(t["documents"])
         .filter(F.size(nonempty) >= NGRAM_N)
         .select("doc_id", word_ngrams(F.col("text")).alias("shingles"))
         .transform(cut_lineage)
@@ -342,7 +343,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, ["documents"])
     toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
-    docs = t["documents"].select("doc_id", toks.alias("toks"))
+    docs = fan_out(t["documents"]).select("doc_id", toks.alias("toks"))
 
     def _bit_vote(j: int):
         return F.aggregate(
