@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blarify_spark.functions.vector import cosine
 from blarify_spark.operators.registry import register
+from blarify_spark.functions.partitioning import fan_out
 from blarify_spark.sources.tables import load_tables
 
 TOP_K = 10
@@ -70,7 +71,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     q = _query_vec(spark, sf_dir)
     return (
-        emb.filter(F.col("vec_id") != 0)
+        fan_out(emb).filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -180,7 +181,7 @@ def ann_lsh_topk(
             n_vectors = emb.count()  # parquet metadata count, once per dir
             _N_VECTORS_CACHE[sf_dir] = n_vectors
     planes = _n_planes(n_vectors)
-    with_keys = emb.select(
+    with_keys = fan_out(emb).select(
         "vec_id",
         "label",
         "embedding",

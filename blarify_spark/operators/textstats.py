@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blarify_spark.operators.registry import register
+from blarify_spark.functions.partitioning import fan_out
 from blarify_spark.sources.tables import load_tables
 
 # Tiny deterministic stopword banks for the n-gram language heuristic.
@@ -48,7 +49,7 @@ def _sql_hits(expr: str, words: list[str]) -> str:
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + regex ('BPE-ish' word piece) token counting."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
@@ -90,7 +91,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.md5(text.substr(i, F.lit(5))),
     )
     d = (
-        t["documents"]
+        fan_out(t["documents"])
         .filter(F.length("text") >= 8)
         .select("doc_id", hs.alias("hs"))
     )
@@ -149,7 +150,7 @@ def text_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.trim(x), " "), lambda y: F.length(y) > 0)
         ),
     )
-    d = t["documents"].select("doc_id", toks.alias("toks")).filter(
+    d = fan_out(t["documents"]).select("doc_id", toks.alias("toks")).filter(
         F.size("toks") > 0
     )
     n = F.size("toks").cast("long")
@@ -197,7 +198,7 @@ def content_hash_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deduped set, not the corpus).
     """
     t = load_tables(spark, sf_dir, ["documents"])
-    hashed = t["documents"].select(
+    hashed = fan_out(t["documents"]).select(
         "doc_id", F.md5("text").alias("content_hash"), "text"
     )
     distinct = hashed.select("content_hash", "text").dropDuplicates(
@@ -236,7 +237,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic family as columns)."""
     t = load_tables(spark, sf_dir, ["documents"])
     n_tok = F.greatest(F.size(_tokens(F.col("text"))), F.lit(1))
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id",
         F.round(_hits(F.col("text"), STOP_EN) / n_tok, 6).alias("stopword_ratio"),
         F.round(
@@ -273,7 +274,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((fr > en) & (fr >= de), "fr")
         .otherwise("en")
     )
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id", "lang", pred.alias("pred_lang")
     ).orderBy("doc_id")
 
@@ -293,7 +294,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     blarify definition_node.py:167-172: regex-normalize then hash)."""
     t = load_tables(spark, sf_dir, ["documents"])
     norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
-    return t["documents"].select(
+    return fan_out(t["documents"]).select(
         "doc_id", norm.alias("fingerprint"), F.substring(norm, 1, 8).alias("short_fp")
     ).orderBy("doc_id")
 
@@ -382,7 +383,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale after lowercasing), and the top-50 is a TakeOrdered, never a
     global sort."""
     t = load_tables(spark, sf_dir, ["documents"])
-    words = t["documents"].select(
+    words = fan_out(t["documents"]).select(
         "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("w")
     )
     n_docs = words.select("doc_id").distinct().count()
@@ -452,7 +453,7 @@ def pack_documents_into_contexts(
     t = load_tables(spark, sf_dir, ["documents"])
     from pyspark.sql import Window as W
 
-    d = t["documents"].select(
+    d = fan_out(t["documents"]).select(
         "doc_id",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
             "shard"
