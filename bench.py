@@ -223,10 +223,30 @@ def main() -> None:
     # to ATTEMPTS times and headline the fastest attempt (the estimator
     # least biased by external steal), with EVERY attempt embedded in the
     # artifact so a noisy number is never mistaken for a calm one.
+    def wait_for_calm(budget_s: float) -> float:
+        """Hold the timed attempt until a 3 s steal probe reads calm (or
+        the budget runs out). Waiting is free; a noisy attempt costs ~40 s
+        of compute AND pollutes the artifact — so spend idle seconds, not
+        attempt slots, riding out a steal wave. Returns seconds waited."""
+        waited = 0.0
+        while waited < budget_s:
+            s0 = _cpu_sample()
+            time.sleep(3)
+            waited += 3
+            if _steal_pct(s0, _cpu_sample()) <= CALM_PCT:
+                return round(waited - 3, 1)
+            time.sleep(7)
+            waited += 7
+        return round(waited, 1)
+
+    pre_wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_PRE_WAIT_S", "90"))
+
     attempts: list[dict] = []
-    for _ in range(ATTEMPTS):
+    for i in range(ATTEMPTS):
+        waited = wait_for_calm(pre_wait_budget) if (i or ATTEMPTS > 1) else 0.0
         a = run_attempt()
         a["calm"] = a["steal_pct"] <= CALM_PCT
+        a["pre_wait_s"] = waited
         attempts.append(a)
         if a["calm"]:
             break
@@ -262,6 +282,7 @@ def main() -> None:
                         "steal_pct": a["steal_pct"],
                         "kg_steal_pct": a["kg_steal_pct"],
                         "calm": a["calm"],
+                        "pre_wait_s": a["pre_wait_s"],
                     }
                     for a in attempts
                 ],
