@@ -118,5 +118,6 @@ def _load_all() -> None:
     import blarify_spark.operators.multimodal  # noqa: F401
     import blarify_spark.operators.relational  # noqa: F401
     import blarify_spark.operators.similarity  # noqa: F401
+    import blarify_spark.operators.sketches  # noqa: F401
     import blarify_spark.operators.temporal  # noqa: F401
     import blarify_spark.operators.textstats  # noqa: F401
