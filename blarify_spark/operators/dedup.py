@@ -10,7 +10,7 @@ similarity (tests/test_dedup_ops.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.functions.partitioning import fan_out
@@ -143,10 +143,12 @@ def dedup_lead_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain producing simpairs(doc_a, doc_b, jaccard): the exact
+# word-3-gram Jaccard pair graph at threshold. Used by the pair query's
+# oracle AND (wrapped in WITH RECURSIVE) by the cluster query's
+# transitive-closure oracle, so both verify against the identical pair set.
+_NGRAM_PAIR_CTES = f"""
+    toks AS (
       -- drop empty tokens exactly like the Spark side's word_ngrams, so
       -- multi-space / trailing-space documents shingle identically
       SELECT doc_id,
@@ -163,17 +165,25 @@ def dedup_lead_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) > {MAX_SHINGLE_DF})
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), pairs AS (
+    ), rawpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_MIN}
+    ), simpairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM rawpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_MIN}
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM simpairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -224,6 +234,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the pair graph — the actual
+# dedup decision (who survives), not just the pair evidence. The oracle
+# re-derives components independently via a recursive-CTE transitive
+# closure, so the engine's CC machinery (plans/canonicalize.py, the same
+# code that labels entities) is value-hash-verified against a second
+# algorithm — the one CC evidence a SQL oracle can express.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_reps",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES}, edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM simpairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM simpairs
+    ), reach(s, d) AS (
+      SELECT s, s AS d FROM (SELECT DISTINCT s FROM edges) t0
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ), labels AS (
+      SELECT s AS doc_id, MIN(d) AS cluster_rep FROM reach GROUP BY s
+    )
+    SELECT doc_id, cluster_rep,
+           COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM labels
+    ORDER BY cluster_rep, doc_id
+    """,
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    n-gram-Jaccard pair graph, one row per clustered doc with its
+    canonical representative (min doc_id in the component — blarify
+    graph.py:37-47 merge semantics) and the cluster size.
+
+    This is the step a training pipeline actually acts on (keep one doc
+    per cluster); pairs alone under-merge when similarity is transitive
+    (A~B, B~C but A!~C still form ONE cluster). Spark runs the engine's
+    real CC (plans/canonicalize.connected_components — adaptive local
+    union-find / distributed min-label + pointer-jumping loop, the same
+    code entity canonicalization uses at 100 TB); the DuckDB oracle
+    computes a recursive-CTE transitive closure — two independent
+    algorithms agreeing on the exact labeling. Doc ids ride the CC as
+    zero-padded strings so lexicographic min == numeric min."""
+    from blarify_spark.plans.canonicalize import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    p = pairs.select(
+        F.format_string("d%012d", F.col("doc_a")).alias("src"),
+        F.format_string("d%012d", F.col("doc_b")).alias("dst"),
+    )
+    nodes = (
+        p.select(F.col("src").alias("node_id"))
+        .union(p.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, p)
+    w = Window.partitionBy("cluster_rep")
+    return (
+        labels.select(
+            F.substring("node_id", 2, 12).cast("bigint").alias("doc_id"),
+            F.substring("canon_id", 2, 12).cast("bigint").alias("cluster_rep"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("cluster_rep", "doc_id")
     )
 
 

@@ -92,11 +92,11 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
-# With 57 oracled queries and a ~50-slot driver prefix, 7 oracled queries
-# must sit past the prefix. Choose them explicitly: non-headline text
-# operators whose semantics are already pinned by test_oracle_parity.py
-# (every bench-headline query and every new-this-round operator stays
-# driver-visible).
+# With 60 oracled queries and a ~50-slot driver prefix, 10 oracled queries
+# must sit past the prefix. Choose them explicitly: non-headline text /
+# plain-relational operators whose semantics are already pinned by
+# test_oracle_parity.py (every bench-headline query and every
+# new-this-round operator stays driver-visible).
 _ORACLED_TAIL = [
     "text_token_counts",
     "text_winnowing_fingerprints",
@@ -105,6 +105,9 @@ _ORACLED_TAIL = [
     "events_user_drawdown",
     "tfidf_top_terms",
     "pack_documents_into_contexts",
+    "set_intersect_nations",
+    "union_account_events",
+    "datetime_dow_orders",
 ]
 
 
@@ -134,7 +137,9 @@ def all_oracles() -> dict[str, str]:
 def _load_all() -> None:
     """Import every operator module so its @register calls run."""
     import blarify_spark.operators.dedup  # noqa: F401
+    import blarify_spark.operators.graphops  # noqa: F401
     import blarify_spark.operators.kg_queries  # noqa: F401
+    import blarify_spark.operators.mixing  # noqa: F401
     import blarify_spark.operators.multimodal  # noqa: F401
     import blarify_spark.operators.quality  # noqa: F401
     import blarify_spark.operators.relational  # noqa: F401
