@@ -101,3 +101,194 @@ def bfs_khop_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt).transform(cut_lineage)
         frontier = nxt.select("node")
     return dist.orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + common-neighbor link prediction (co-order part graph)
+# ---------------------------------------------------------------------------
+#
+# Graph: nodes are a deterministic 5% slice of parts (p_partkey % 20 = 0);
+# an undirected edge joins two sliced parts that appear in the same order.
+# The slice is the scale fence: it bounds node count and degree so wedge
+# enumeration stays linear-ish in |edges| * avg_degree at every sf (and is
+# mirrored verbatim in the oracle). At 100 TB you'd run per-slice rounds —
+# the modulus is a free partitioner — or orient by degree before the wedge
+# join (the standard node-iterator orientation); the a<b<c orientation used
+# here already dedups each triangle to exactly one tuple.
+
+PART_SLICE_MOD = 20
+
+_EDGES_CTE = f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_partkey % {PART_SLICE_MOD} = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (p1 < p2) co-order pairs over the sliced part set; the
+    filter sits under the parquet scan, so the self-join input is 5% of
+    lineitem before any shuffle."""
+    li = (
+        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+        .filter(F.col("l_partkey") % PART_SLICE_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_EDGES_CTE
+    + """
+    , tris AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.p1 = e1.p2
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ), nodes AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM nodes GROUP BY node ORDER BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the co-order part graph.
+
+    Oriented enumeration (a < b < c): wedge join edges(a,b)⋈edges(b,c),
+    closed by a semi-check against edges(a,c) — each triangle materializes
+    exactly once, then explodes to its three corners for the per-node
+    count. Two hash joins + one aggregate; no driver-side state. Mirrors
+    the clustering step blarify runs on its entity graph
+    (graph.py node-relationship assembly) as an oracle-checkable analog."""
+    edges = _co_order_edges(spark, sf_dir).transform(cut_lineage)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .select(
+            F.col("e1.p1").alias("a"),
+            F.col("e1.p2").alias("b"),
+            F.col("e2.p2").alias("c"),
+        )
+    )
+    nodes = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+        .orderBy("node")
+    )
+
+
+LINK_TOP_K = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_EDGES_CTE
+    + f"""
+    , adj AS (
+      SELECT p1 AS u, p2 AS v FROM edges
+      UNION ALL SELECT p2, p1 FROM edges
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM adj GROUP BY u
+    ), wedge AS (
+      SELECT a1.v AS a, a2.v AS b
+      FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+    ), cand AS (
+      SELECT w.a, w.b, COUNT(*) AS common
+      FROM wedge w
+      LEFT JOIN edges e ON e.p1 = w.a AND e.p2 = w.b
+      WHERE e.p1 IS NULL
+      GROUP BY w.a, w.b
+    )
+    SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common,
+           CAST(da.d + db.d - c.common AS BIGINT) AS union_deg,
+           CAST(c.common AS DOUBLE) / (da.d + db.d - c.common) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    ORDER BY common DESC, a, b LIMIT {LINK_TOP_K}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction: top-{20} NON-adjacent
+    part pairs ranked by shared co-order neighbors.
+
+    Wedge join over the symmetrized adjacency (one shuffle on the pivot
+    node), anti-filter against existing edges, exact integer common/union
+    counts; the only float is one IEEE double division, bit-identical
+    across engines. ORDER BY (common DESC, a, b) is total, so the LIMIT
+    is deterministic. The candidate generator blarify uses for fuzzy
+    entity merges (duplicate-name disambiguation) is this same
+    shared-neighbor heuristic over an engine-built graph."""
+    edges = _co_order_edges(spark, sf_dir).transform(cut_lineage)
+    adj = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a1 = adj.alias("a1")
+    a2 = adj.alias("a2")
+    wedge = a1.join(
+        a2, (F.col("a1.u") == F.col("a2.u")) & (F.col("a1.v") < F.col("a2.v"))
+    ).select(F.col("a1.v").alias("a"), F.col("a2.v").alias("b"))
+    cand = (
+        wedge.join(
+            edges,
+            (F.col("a") == F.col("p1")) & (F.col("b") == F.col("p2")),
+            "left_anti",
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    return (
+        cand.join(da, F.col("da.u") == F.col("a"))
+        .join(db, F.col("db.u") == F.col("b"))
+        .select(
+            F.col("a"),
+            F.col("b"),
+            F.col("common").cast("bigint").alias("common"),
+            (F.col("da.d") + F.col("db.d") - F.col("common"))
+            .cast("bigint")
+            .alias("union_deg"),
+            (
+                F.col("common").cast("double")
+                / (F.col("da.d") + F.col("db.d") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common").desc(), "a", "b")
+        .limit(LINK_TOP_K)
+    )

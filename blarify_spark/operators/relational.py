@@ -1149,3 +1149,108 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient salted aggregation (explicit two-stage, oracle = plain agg)
+# ---------------------------------------------------------------------------
+
+
+SALT_BUCKETS = 16
+
+
+@register(
+    "salted_topk_hot_suppliers",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100
+             AS revenue,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY revenue DESC, l_suppkey LIMIT 15
+    """,
+)
+def salted_topk_hot_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 suppliers by revenue via an EXPLICIT two-stage salted
+    aggregation: stage 1 groups on (key, salt) so a skewed hot key spreads
+    over SALT_BUCKETS reducers; stage 2 merges the per-salt partials on the
+    bare key. The salt is pmod(xxhash64(l_orderkey), 16) — deterministic,
+    uniform, and independent of the group key. All partials are exact
+    BIGINT (integer-cents money), so the two-stage rewrite is value-exact
+    vs the oracle's single plain GROUP BY — the associativity the rewrite
+    needs is guaranteed by integer math, the precise reason `_cents` exists.
+
+    At 100 TB this is the manual fallback when AQE skew-split can't help
+    (skew inside a single group, not a single partition); blarify's analog
+    is the head-entity salting called out in its canonicalization plan."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    salted = t["lineitem"].withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("l_suppkey", "salt").agg(
+        F.sum(_cents("l_extendedprice")).alias("rev_cents"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        partial.groupBy("l_suppkey")
+        .agg(
+            (F.sum("rev_cents").cast("double") / 100).alias("revenue"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+            F.sum("n").cast("bigint").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             NTILE(10) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(FLOOR(o_totalprice * 100 + 0.5)) AS DOUBLE) / 100
+             AS min_price,
+           CAST(MAX(FLOOR(o_totalprice * 100 + 0.5)) AS DOUBLE) / 100
+             AS max_price
+    FROM d GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority price deciles (NTILE) with per-bucket count/min/max.
+    The window ORDER BY carries the unique o_orderkey tie-break, so bucket
+    assignment is total and engine-independent (SQL-standard NTILE: the
+    first n%10 buckets take the extra row). One shuffle on the partition
+    key; the aggregate reuses the same partitioning (no second exchange)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    d = t["orders"].select(
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        "o_totalprice",
+    )
+    return (
+        d.groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.min(_cents("o_totalprice")).cast("double") / 100).alias(
+                "min_price"
+            ),
+            (F.max(_cents("o_totalprice")).cast("double") / 100).alias(
+                "max_price"
+            ),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )

@@ -146,3 +146,154 @@ def tumbling_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_str", "event_type")
     )
+
+
+@register(
+    "funnel_stage_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS cts
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.vts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.cts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+    UNION ALL
+    SELECT '2_click' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM c
+    UNION ALL
+    SELECT '3_purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM p
+    ORDER BY stage
+    """,
+)
+def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user advances a stage
+    only with an event STRICTLY AFTER their previous stage's first event.
+
+    Each stage is one filtered aggregate joined to the previous stage's
+    per-user anchor timestamp — three shuffles on user_id total, and every
+    join key is the already-aggregated per-user row (small side,
+    broadcast-able). The event-sequence semantics mirror the
+    INTEGRATION_SEQUENCE ordering blarify attaches to crawl provenance
+    (plans/provenance.py)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e.ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter(F.col("e.ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+GAPFILL_USER_BOUND = 20
+
+
+@register(
+    "gapfill_hourly_user_values",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v_cents,
+             COUNT(*) AS n
+      FROM events WHERE user_id < {GAPFILL_USER_BOUND}
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), span AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM f GROUP BY user_id
+    ), hours AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ), j AS (
+      SELECT hours.user_id, hours.h, f.v_cents, f.n
+      FROM hours LEFT JOIN f
+        ON f.user_id = hours.user_id AND f.h = hours.h
+    )
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_str,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(last_value(v_cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS carried_value
+    FROM j ORDER BY user_id, hour_str
+    """,
+)
+def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with gap-fill: for each (bounded) user, emit every
+    hour between their first and last event; hours with no events carry
+    the last observed hourly value forward (time-series densification).
+
+    The hour spectrum comes from `sequence()` exploded per user — rows
+    scale with users x span, NOT with raw events, and the user bound (a
+    scale fence mirrored in the oracle) keeps the demo deterministic. One
+    shuffle on user_id for the hourly aggregate; the explode, left join
+    and carry-forward window all reuse that partitioning. DuckDB rebuilds
+    the spectrum independently with generate_series + IGNORE NULLS
+    last_value."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.filter(F.col("user_id") < GAPFILL_USER_BOUND)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(cents).alias("v_cents"), F.count(F.lit(1)).alias("n"))
+    )
+    hours = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = hours.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        j.select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            (
+                F.last("v_cents", ignorenulls=True).over(w).cast("double")
+                / 100
+            ).alias("carried_value"),
+        )
+        .orderBy("user_id", "hour_str")
+    )

@@ -1,0 +1,172 @@
+"""Semantic invariants for the round-5 analytics additions: triangle
+counting, common-neighbor link prediction, salted two-stage aggregation,
+NTILE deciles, funnel conversion, and hourly gap-fill.
+
+Cross-engine value parity for all six is covered by
+tests/test_oracle_parity.py (DuckDB oracles); these tests pin the
+SEMANTICS with independent in-process checks (third algorithm, closure
+properties, or exact structural invariants).
+"""
+
+from __future__ import annotations
+
+import datetime
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from blarify_spark.operators.graphops import (
+    _co_order_edges,
+    graph_link_prediction,
+    graph_triangle_count,
+)
+from blarify_spark.operators.relational import (
+    salted_topk_hot_suppliers,
+    window_ntile_deciles,
+)
+from blarify_spark.operators.temporal import (
+    funnel_stage_conversion,
+    gapfill_hourly_user_values,
+)
+from tests.conftest import SF_DIR, SF_DIR_MEDIUM
+
+
+def test_triangle_count_matches_local_enumeration(spark):
+    adj: dict[int, set[int]] = {}
+    for r in _co_order_edges(spark, SF_DIR).collect():
+        adj.setdefault(r["p1"], set()).add(r["p2"])
+        adj.setdefault(r["p2"], set()).add(r["p1"])
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    got = {
+        r["node"]: r["triangles"]
+        for r in graph_triangle_count(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) % 3 == 0  # each triangle has 3 corners
+
+
+def test_link_prediction_pairs_are_nonadjacent_with_true_counts(spark):
+    adj: dict[int, set[int]] = {}
+    for r in _co_order_edges(spark, SF_DIR_MEDIUM).collect():
+        adj.setdefault(r["p1"], set()).add(r["p2"])
+        adj.setdefault(r["p2"], set()).add(r["p1"])
+    rows = graph_link_prediction(spark, SF_DIR_MEDIUM).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        a, b = r["a"], r["b"]
+        assert a < b
+        assert b not in adj[a], "predicted pair is already an edge"
+        common = len(adj[a] & adj[b])
+        union = len(adj[a] | adj[b])
+        assert r["common"] == common
+        assert r["union_deg"] == union
+        assert abs(r["jaccard"] - common / union) < 1e-12
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from blarify_spark.sources.tables import load_tables
+
+    got = salted_topk_hot_suppliers(spark, SF_DIR_MEDIUM).collect()
+    li = load_tables(spark, SF_DIR_MEDIUM, ["lineitem"])["lineitem"]
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    plain = (
+        li.groupBy("l_suppkey")
+        .agg(
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .limit(15)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in plain]
+
+
+def test_salted_agg_plan_has_two_aggregate_stages(spark):
+    plan = salted_topk_hot_suppliers(spark, SF_DIR)._jdf.queryExecution().toString()
+    # stage 1 groups on (l_suppkey, salt); stage 2 on l_suppkey alone —
+    # both keyed aggregates must survive into the optimized plan
+    assert plan.count("salt") >= 2
+
+
+def test_ntile_deciles_bucket_sizes_balanced(spark):
+    rows = window_ntile_deciles(spark, SF_DIR_MEDIUM).collect()
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r)
+    for prio, rs in by_prio.items():
+        assert [r["decile"] for r in rs] == list(range(1, len(rs) + 1))
+        sizes = [r["n"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1, prio
+        # deciles partition the price range in order
+        for lo, hi in zip(rs, rs[1:]):
+            assert lo["max_price"] <= hi["min_price"] + 1e-9
+
+
+def test_funnel_is_monotone_and_matches_local_replay(spark):
+    from blarify_spark.sources.tables import load_tables
+
+    rows = {
+        r["stage"]: r["users"]
+        for r in funnel_stage_conversion(spark, SF_DIR_MEDIUM).collect()
+    }
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"] > 0
+
+    ev = (
+        load_tables(spark, SF_DIR_MEDIUM, ["events"])["events"]
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    n_v = n_c = n_p = 0
+    for evs in by_user.values():
+        vts = min((t for t, k in evs if k == "view"), default=None)
+        if vts is None:
+            continue
+        n_v += 1
+        cts = min((t for t, k in evs if k == "click" and t > vts), default=None)
+        if cts is None:
+            continue
+        n_c += 1
+        if any(k == "purchase" and t > cts for t, k in evs):
+            n_p += 1
+    assert (rows["1_view"], rows["2_click"], rows["3_purchase"]) == (
+        n_v,
+        n_c,
+        n_p,
+    )
+
+
+def test_gapfill_spectrum_contiguous_and_carry_correct(spark):
+    rows = gapfill_hourly_user_values(spark, SF_DIR_MEDIUM).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    saw_gap = False
+    for user, rs in by_user.items():
+        hours = [
+            datetime.datetime.strptime(r["hour_str"], "%Y-%m-%d %H:%M:%S")
+            for r in rs
+        ]
+        # contiguous hourly spectrum, no holes
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a) == datetime.timedelta(hours=1), user
+        # endpoints observed; gaps carry the previous observed value
+        assert rs[0]["n_events"] > 0 and rs[-1]["n_events"] > 0
+        last = None
+        for r in rs:
+            if r["n_events"] > 0:
+                last = r["carried_value"]
+            else:
+                saw_gap = True
+                assert r["carried_value"] == last
+    assert saw_gap, "fixture produced no gaps — operator untested"
