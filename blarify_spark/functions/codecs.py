@@ -16,9 +16,10 @@ codec:
 * GIF first-frame pixel decode — sub-block reassembly, variable-width
   LZW inflate (CLEAR/END, KwKwK, growth to 12 bits), de-interlace,
   palette mapping onto the logical screen — plus a matching LZW
-  encoder in make_gif so tests exercise real table growth. JPEG stays
-  dims-only permanently (entropy decode + IDCT is not reasonable
-  pure-stdlib).
+  encoder in make_gif so tests exercise real table growth.
+* baseline JPEG encode + FULL pixel decode (functions/jpeg.py since
+  round 5: Huffman entropy decode, dequant, IDCT, chroma upsampling,
+  restart intervals) — progressive/arithmetic refused cleanly.
 * WAV PCM decode via stdlib `wave` + `audioop` (channels, rate, frames,
   RMS energy)
 * RVID — a tiny DOCUMENTED toy video container
@@ -519,8 +520,12 @@ def gif_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
 
 
 def image_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Pixel decode for any supported uncompressed/inflatable format
-    (24bpp BMP, 8-bit PNG, GIF first frame via pure-stdlib LZW)."""
+    """Pixel decode for any supported format (24bpp BMP, 8-bit PNG, GIF
+    first frame via pure-stdlib LZW, baseline JPEG via functions/jpeg.py)."""
+    if sniff_format(payload) == "jpeg":
+        from blarify_spark.functions.jpeg import jpeg_pixels
+
+        return jpeg_pixels(payload)
     return bmp_pixels(payload) or png_pixels(payload) or gif_pixels(payload)
 
 

@@ -98,11 +98,11 @@ def _decode_real(payload: bytes | None, kind: str) -> dict:
         if dims is None:
             return _FAIL
         px = codecs.image_pixels(payload)
-        # BMP/PNG/GIF: histogram over DECODED pixels (GIF via pure-stdlib
-        # LZW since round 5). JPEG is dims-only PERMANENTLY — entropy
-        # decode + IDCT is not reasonable pure-stdlib; its feature is a
-        # histogram over the compressed payload bytes (documented) until
-        # a real codec library is available (HAVE_PIL).
+        # all four containers get REAL pixel decode (GIF via pure-stdlib
+        # LZW, JPEG via the baseline codec in functions/jpeg.py since
+        # round 5); the histogram runs over decoded pixels. Only a
+        # payload whose pixels can't be recovered (e.g. progressive
+        # JPEG) falls back to the compressed-byte histogram.
         feature = _hist8(px[2] if px else payload)
         return {
             "decode_ok": True,
@@ -205,12 +205,18 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
                     for x in range(w)
                     for _ in range(3)
                 )
-                # rotate containers: all three get REAL pixel decode
+                # rotate containers: all four get REAL pixel decode
                 # (the grayscale pixel ramp keeps distinct colors <= 256,
-                # so the GIF palette path is always encodable)
-                maker = (codecs.make_bmp, codecs.make_png, codecs.make_gif)[
-                    (i // 3) % 3
-                ]
+                # so the GIF palette path is always encodable; JPEG is
+                # lossy — its features come from its own decoded pixels)
+                from blarify_spark.functions.jpeg import make_jpeg
+
+                maker = (
+                    codecs.make_bmp,
+                    codecs.make_png,
+                    codecs.make_gif,
+                    make_jpeg,
+                )[(i // 3) % 4]
                 payload = maker(w, h, pixels)
             elif kind == "audio":
                 payload = codecs.make_wav(400 + (i % 8) * 100, seed=i)
@@ -229,6 +235,7 @@ def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
             "png": "image/png",
             "gif": "image/gif",
             "bmp": "image/bmp",
+            "jpeg": "image/jpeg",
             "wav": "audio/wav",
             "rvid": "video/x-rvid",
         }.get(codecs.sniff_format(payload) or "", f"application/x-{kind}")

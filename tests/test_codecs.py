@@ -286,3 +286,102 @@ def test_gif_corrupt_streams_fail_cleanly():
     assert codecs.gif_pixels(bytes(gif)) is not None
     truncated = bytes(gif[:20])
     assert codecs.gif_pixels(truncated) is None
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_bgr(w: int, h: int) -> bytes:
+    # non-wrapping gradient: no discontinuities, so quantization error
+    # stays small everywhere (no Gibbs ringing)
+    return bytes(
+        min(255, (x * 4 + y * 2 + k * 10))
+        for y in range(h)
+        for x in range(w)
+        for k in range(3)
+    )
+
+
+def test_jpeg_flat_field_roundtrips_near_exact():
+    import numpy as np
+
+    from blarify_spark.functions import jpeg
+
+    w, h = 16, 12
+    flat = bytes([120, 80, 200]) * (w * h)
+    for ss in (False, True):
+        dec = jpeg.jpeg_pixels(jpeg.make_jpeg(w, h, flat, subsample=ss))
+        assert dec is not None and dec[:2] == (w, h)
+        a = np.frombuffer(dec[2], np.uint8).astype(int)
+        e = np.frombuffer(flat, np.uint8).astype(int)
+        # flat field = DC-only blocks: survives quantization within 1
+        assert np.abs(a - e).max() <= 1
+
+
+def test_jpeg_smooth_gradient_within_quant_error():
+    import numpy as np
+
+    from blarify_spark.functions import jpeg
+
+    w, h = 24, 17  # non-multiple-of-8/16: exercises edge padding + crop
+    img = _smooth_bgr(w, h)
+    for ss in (False, True):
+        dec = jpeg.jpeg_pixels(jpeg.make_jpeg(w, h, img, subsample=ss))
+        assert dec is not None and dec[:2] == (w, h)
+        a = np.frombuffer(dec[2], np.uint8).astype(int)
+        e = np.frombuffer(img, np.uint8).astype(int)
+        assert np.abs(a - e).mean() < 4.0
+        assert np.abs(a - e).max() < 32
+
+
+def test_jpeg_restart_markers_roundtrip():
+    import numpy as np
+
+    from blarify_spark.functions import jpeg
+
+    w, h = 40, 24
+    img = _smooth_bgr(w, h)
+    base = jpeg.jpeg_pixels(jpeg.make_jpeg(w, h, img))
+    for rst in (1, 2, 3):
+        enc = jpeg.make_jpeg(w, h, img, restart=rst)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        dec = jpeg.jpeg_pixels(enc)
+        assert dec is not None
+        # restart changes framing, not pixels: same decode as no-restart
+        assert dec == base
+
+
+def test_jpeg_dispatch_dims_and_failures():
+    from blarify_spark.functions import codecs, jpeg
+
+    w, h = 21, 9
+    enc = jpeg.make_jpeg(w, h, _smooth_bgr(w, h))
+    # the generic dispatchers route JPEG to the real decoder
+    assert codecs.image_dims(enc) == (w, h)
+    px = codecs.image_pixels(enc)
+    assert px is not None and px[:2] == (w, h)
+    resized = codecs.image_resize(enc, 8, 8)
+    assert resized is not None and codecs.sniff_format(resized) == "bmp"
+    assert codecs.bmp_pixels(resized)[:2] == (8, 8)
+    # truncation and mid-stream corruption fail cleanly
+    assert jpeg.jpeg_pixels(enc[:6]) is None
+    assert jpeg.jpeg_pixels(enc[:40]) is None
+    assert jpeg.jpeg_pixels(b"\xff\xd8" + b"\x00" * 64) is None
+    # progressive SOF2 is refused (never misparsed): swap SOF0 -> SOF2
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg.jpeg_pixels(prog) is None
+
+
+def test_jpeg_quant_tables_written_in_zigzag_order():
+    from blarify_spark.functions import jpeg
+
+    enc = jpeg.make_jpeg(8, 8, bytes(8 * 8 * 3))
+    i = enc.index(b"\xff\xdb")
+    seg = enc[i + 5 : i + 5 + 64]  # first DQT payload, zigzag order
+    flat = jpeg.QT_LUM.flatten()
+    expect = bytes(int(flat[j]) for j in jpeg.ZZ_FLAT)
+    assert seg == expect
+    # spec zigzag prefix: natural indices 0,1,8,16,9,2,3,10
+    assert list(jpeg.ZZ_FLAT[:8]) == [0, 1, 8, 16, 9, 2, 3, 10]
