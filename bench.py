@@ -37,6 +37,53 @@ def _steal_pct(before: dict[str, int], after: dict[str, int]) -> float:
     return round(100.0 * (after["steal"] - before["steal"]) / dt, 3)
 
 
+# Steal alone under-detects contention on this host: a run can read
+# steal 0.2% yet be ~1.5x slow when co-tenants saturate memory bandwidth
+# (observed: 45.6 s "calm" total vs 30.5 s a minute later, identical
+# steal). So the calm gate also measures delivered throughput directly:
+# a single-thread CPU probe (hash chain, cache-resident) and a memory-
+# bandwidth probe (400 MB streaming sum). Nominal values were recorded
+# in a verified-calm window; an attempt only counts as calm if both
+# probes are within PROBE_TOL of nominal AND steal is under CALM_PCT.
+PROBE_CPU_NOMINAL_MS = float(os.environ.get("SPARK_GRAFT_PROBE_CPU_MS", "30"))
+PROBE_MEM_NOMINAL_MS = float(os.environ.get("SPARK_GRAFT_PROBE_MEM_MS", "55"))
+PROBE_TOL = float(os.environ.get("SPARK_GRAFT_PROBE_TOL", "1.30"))
+
+_PROBE_BUF = None
+
+
+def _throughput_probe() -> dict:
+    """Best-of-3 single-thread CPU and memory-bandwidth timings (ms)."""
+    global _PROBE_BUF
+    import hashlib
+
+    import numpy as np
+
+    if _PROBE_BUF is None:
+        _PROBE_BUF = np.arange(50_000_000, dtype=np.float64)  # 400 MB
+    best_cpu = best_mem = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = b"x"
+        for _ in range(50_000):
+            h = hashlib.md5(h).digest()
+        best_cpu = min(best_cpu, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(_PROBE_BUF.sum())
+        best_mem = min(best_mem, time.perf_counter() - t0)
+    return {
+        "cpu_ms": round(best_cpu * 1000, 1),
+        "mem_ms": round(best_mem * 1000, 1),
+    }
+
+
+def _probe_ok(p: dict) -> bool:
+    return (
+        p["cpu_ms"] <= PROBE_CPU_NOMINAL_MS * PROBE_TOL
+        and p["mem_ms"] <= PROBE_MEM_NOMINAL_MS * PROBE_TOL
+    )
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "12000"))
@@ -224,16 +271,19 @@ def main() -> None:
     # least biased by external steal), with EVERY attempt embedded in the
     # artifact so a noisy number is never mistaken for a calm one.
     def wait_for_calm(budget_s: float) -> float:
-        """Hold the timed attempt until a 3 s steal probe reads calm (or
-        the budget runs out). Waiting is free; a noisy attempt costs ~40 s
-        of compute AND pollutes the artifact — so spend idle seconds, not
-        attempt slots, riding out a steal wave. Returns seconds waited."""
+        """Hold the timed attempt until a 3 s steal probe reads calm AND
+        the throughput probes deliver nominal speed (or the budget runs
+        out). Waiting is free; a noisy attempt costs ~40 s of compute AND
+        pollutes the artifact — so spend idle seconds, not attempt slots,
+        riding out a contention wave. Returns seconds waited."""
         waited = 0.0
         while waited < budget_s:
             s0 = _cpu_sample()
             time.sleep(3)
             waited += 3
-            if _steal_pct(s0, _cpu_sample()) <= CALM_PCT:
+            if _steal_pct(s0, _cpu_sample()) <= CALM_PCT and _probe_ok(
+                _throughput_probe()
+            ):
                 return round(waited - 3, 1)
             time.sleep(7)
             waited += 7
@@ -245,7 +295,9 @@ def main() -> None:
     for i in range(ATTEMPTS):
         waited = wait_for_calm(pre_wait_budget) if (i or ATTEMPTS > 1) else 0.0
         a = run_attempt()
-        a["calm"] = a["steal_pct"] <= CALM_PCT
+        probe = _throughput_probe()
+        a["calm"] = a["steal_pct"] <= CALM_PCT and _probe_ok(probe)
+        a["probe"] = probe
         a["pre_wait_s"] = waited
         attempts.append(a)
         if a["calm"]:
@@ -275,6 +327,11 @@ def main() -> None:
                 "steal_pct": chosen["steal_pct"],
                 "calm": chosen["calm"],
                 "calm_threshold_pct": CALM_PCT,
+                "probe_nominal_ms": {
+                    "cpu": PROBE_CPU_NOMINAL_MS,
+                    "mem": PROBE_MEM_NOMINAL_MS,
+                    "tol": PROBE_TOL,
+                },
                 "attempts": [
                     {
                         "total": a["total"],
@@ -282,6 +339,7 @@ def main() -> None:
                         "steal_pct": a["steal_pct"],
                         "kg_steal_pct": a["kg_steal_pct"],
                         "calm": a["calm"],
+                        "probe": a.get("probe"),
                         "pre_wait_s": a["pre_wait_s"],
                     }
                     for a in attempts

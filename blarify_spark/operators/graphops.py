@@ -292,3 +292,88 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common").desc(), "a", "b")
         .limit(LINK_TOP_K)
     )
+
+
+MIN_SUPPORT = 2
+BASKET_TOP_K = 20
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp
+    ), cnt AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lp GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+           CAST(p.support AS DOUBLE) / c1.c AS confidence,
+           CAST(p.support * n.n_orders AS DOUBLE)
+             / (CAST(c1.c AS BIGINT) * c2.c) AS lift
+    FROM pairs p
+    JOIN cnt c1 ON c1.l_partkey = p.p1
+    JOIN cnt c2 ON c2.l_partkey = p.p2
+    CROSS JOIN n
+    ORDER BY support DESC, p1, p2 LIMIT {BASKET_TOP_K}
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: top pairs by support
+    with confidence(p1→p2) and lift. The support floor (HAVING >= 2,
+    mirrored in the oracle) is the standard a-priori fence — it prunes
+    the pair space from O(parts²) to the few thousand genuinely
+    co-ordered pairs BEFORE the metric joins, which is what makes the
+    self-join survive 100 TB. The corpus-size scalar rides a broadcast
+    cross join (one row); part counts broadcast too (one row per part).
+    Confidence/lift are single IEEE double divisions over exact integer
+    counts — bit-identical across engines."""
+    li = (
+        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    c1 = cnt.alias("c1")
+    c2 = cnt.alias("c2")
+    return (
+        pairs.join(c1, F.col("c1.l_partkey") == F.col("p1"))
+        .join(c2, F.col("c2.l_partkey") == F.col("p2"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("support").cast("bigint").alias("support"),
+            (F.col("support").cast("double") / F.col("c1.c")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("c1.c").cast("bigint") * F.col("c2.c"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(BASKET_TOP_K)
+    )

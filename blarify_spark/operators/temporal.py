@@ -297,3 +297,121 @@ def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour_str")
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+               AS offset_days
+      FROM events e JOIN firstd f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day_str,
+           CAST(offset_days AS BIGINT) AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active
+    GROUP BY cohort_day, offset_days
+    ORDER BY cohort_day_str, offset_days
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day-offset they were active (the standard
+    product-analytics retention triangle).
+
+    Two shuffles on user_id (first-day aggregate, then the distinct over
+    (user, offset)); the final (cohort, offset) aggregate is tiny. The
+    cohort join side is one row per user — broadcast-able at any scale."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    firstd = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    active = (
+        ev.join(firstd, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "offset_days"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day_str"),
+            F.col("offset_days").cast("bigint").alias("offset_days"),
+            "n_users",
+        )
+        .orderBy("cohort_day_str", "offset_days")
+    )
+
+
+ERROR_BURST_WINDOW_S = 86400  # trailing 24 h (5-min windows are vacuous on this corpus's error rate)
+
+
+@register(
+    "error_burst_windows",
+    oracle=f"""
+    WITH err AS (
+      -- exact microsecond offsets from a fixed wall-clock anchor:
+      -- tz-free and integral in BOTH engines (epoch()/unix conversions
+      -- would be fractional or tz-dependent for NTZ timestamps)
+      SELECT user_id, event_id,
+             date_diff('microsecond',
+                       TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+      FROM events WHERE event_type = 'error'
+    ), counted AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {ERROR_BURST_WINDOW_S * 1_000_000} PRECEDING
+                         AND CURRENT ROW) AS errs_24h
+      FROM err
+    )
+    SELECT user_id, event_id, CAST(errs_24h AS BIGINT) AS errs_24h
+    FROM counted WHERE errs_24h >= 3
+    ORDER BY user_id, event_id
+    """,
+)
+def error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding range-frame burst detector: for every error event, count
+    errors by the same user in the trailing 24 hours (RANGE frame over
+    event-time microseconds, the batch analog of a sliding streaming
+    window); emit events whose trailing count reaches 3.
+
+    One shuffle on user_id; the RANGE frame runs in-partition over the
+    sorted event times — no self-join, no interval explosion. The frame
+    key is microseconds since a fixed NTZ anchor (timestampdiff /
+    date_diff'microsecond') — exact integers, tz-free, identical in both
+    engines."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ERROR_BURST_WINDOW_S * 1_000_000, 0)
+    )
+    return (
+        err.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("errs_24h"),
+        )
+        .filter(F.col("errs_24h") >= 3)
+        .orderBy("user_id", "event_id")
+    )

@@ -59,6 +59,22 @@ def run_once(cpus: int) -> dict:
 STEAL_OK_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_OK", "0.05"))
 
 
+def _probe_ok_run(r: dict) -> bool:
+    """True when the run's delivered-throughput probe (bench.py measures
+    single-thread CPU + memory bandwidth after the timed window; steal
+    alone misses same-host memory-bandwidth contention) was nominal.
+    Runs from older bench versions without a probe pass vacuously."""
+    att = (r.get("attempts") or [{}])[-1]
+    probe = att.get("probe")
+    nom = r.get("probe_nominal_ms")
+    if not probe or not nom:
+        return True
+    return (
+        probe["cpu_ms"] <= nom["cpu"] * nom["tol"]
+        and probe["mem_ms"] <= nom["mem"] * nom["tol"]
+    )
+
+
 def best_of(cpus: int) -> dict:
     """Best of up to REPEATS runs — the sandbox host has noisy-neighbor
     CPU steal (observed 2-3x swings with zero local load), so each run
@@ -70,10 +86,11 @@ def best_of(cpus: int) -> dict:
     for _ in range(REPEATS):
         r = run_once(cpus)
         runs.append(r)
-        if r.get("kg_steal_pct", 99.0) <= STEAL_OK_PCT:
+        if r.get("kg_steal_pct", 99.0) <= STEAL_OK_PCT and _probe_ok_run(r):
             break
     best = max(runs, key=lambda r: r["kg_triples_per_sec"])
     best["_all_throughputs"] = [r["kg_triples_per_sec"] for r in runs]
+    best["_probe_ok"] = _probe_ok_run(best)
     return best
 
 
@@ -90,6 +107,8 @@ def main() -> None:
             "throughput_4n": tp_hi,
             "steal_pct_n": lo.get("kg_steal_pct"),
             "steal_pct_4n": hi.get("kg_steal_pct"),
+            "probe_ok_n": lo.get("_probe_ok"),
+            "probe_ok_4n": hi.get("_probe_ok"),
         }
     )
     print(
@@ -133,6 +152,11 @@ def _is_calm(run: dict) -> bool:
         run.get("steal_pct_n") is not None
         and run.get("steal_pct_4n") is not None
         and max(run["steal_pct_n"], run["steal_pct_4n"]) <= CALM_STEAL_PCT
+        # throughput probe (when present): both arms delivered nominal
+        # single-thread + memory-bandwidth speed — catches same-host
+        # contention that never shows up as steal
+        and run.get("probe_ok_n", True) is not False
+        and run.get("probe_ok_4n", True) is not False
     )
 
 

@@ -170,3 +170,96 @@ def test_gapfill_spectrum_contiguous_and_carry_correct(spark):
                 saw_gap = True
                 assert r["carried_value"] == last
     assert saw_gap, "fixture produced no gaps — operator untested"
+
+
+def test_retention_cohorts_day0_equals_cohort_sizes(spark):
+    from blarify_spark.operators.temporal import retention_cohorts
+    from blarify_spark.sources.tables import load_tables
+
+    rows = retention_cohorts(spark, SF_DIR_MEDIUM).collect()
+    assert rows
+    day0 = {
+        r["cohort_day_str"]: r["n_users"] for r in rows if r["offset_days"] == 0
+    }
+    # every user is active on their own first day, so offset-0 counts are
+    # exactly the cohort sizes
+    ev = load_tables(spark, SF_DIR_MEDIUM, ["events"])["events"]
+    sizes = {
+        r["d"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.date_format(F.min(F.date_trunc("day", "ts")), "yyyy-MM-dd").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert day0 == sizes
+    # retention never exceeds the cohort size, offsets are non-negative
+    for r in rows:
+        assert 0 <= r["offset_days"]
+        assert r["n_users"] <= day0[r["cohort_day_str"]]
+
+
+def test_error_bursts_match_local_sliding_window(spark):
+    from blarify_spark.operators.temporal import (
+        ERROR_BURST_WINDOW_S,
+        error_burst_windows,
+    )
+    from blarify_spark.sources.tables import load_tables
+
+    got = {
+        (r["user_id"], r["event_id"]): r["errs_24h"]
+        for r in error_burst_windows(spark, SF_DIR_MEDIUM).collect()
+    }
+    ev = (
+        load_tables(spark, SF_DIR_MEDIUM, ["events"])["events"]
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    win_us = ERROR_BURST_WINDOW_S * 1_000_000
+    expected = {}
+    for user, evs in by_user.items():
+        for sec, eid in evs:
+            n = sum(1 for s, _ in evs if sec - win_us <= s <= sec)
+            if n >= 3:
+                expected[(user, eid)] = n
+    assert got == expected
+    assert got, "fixture produced no bursts — operator untested"
+
+
+def test_market_basket_metrics_exact(spark):
+    from blarify_spark.operators.graphops import market_basket_rules
+    from blarify_spark.sources.tables import load_tables
+
+    rows = market_basket_rules(spark, SF_DIR_MEDIUM).collect()
+    assert 0 < len(rows) <= 20
+    lp = (
+        load_tables(spark, SF_DIR_MEDIUM, ["lineitem"])["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders: dict[int, set] = {}
+    parts: dict[int, int] = {}
+    for r in lp:
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        parts[r["l_partkey"]] = parts.get(r["l_partkey"], 0) + 1
+    n_orders = len(orders)
+    for r in rows:
+        supp = sum(1 for s in orders.values() if r["p1"] in s and r["p2"] in s)
+        assert r["support"] == supp >= 2
+        assert abs(r["confidence"] - supp / parts[r["p1"]]) < 1e-12
+        assert (
+            abs(r["lift"] - supp * n_orders / (parts[r["p1"]] * parts[r["p2"]]))
+            < 1e-9
+        )
