@@ -377,3 +377,69 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "p1", "p2")
         .limit(BASKET_TOP_K)
     )
+
+
+@register("graph_kcore", oracle=None)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the co-order part graph: iteratively peel
+    nodes of degree < k to a fixpoint, for k = 2, 3, ... until the core
+    empties; emit each node's core number (the largest k whose core
+    retains it).
+
+    Each peel round is one degree aggregate + one semi-join — frontier
+    work proportional to the shrinking core, with a lineage cut per
+    round (the same iterate-to-fixpoint shape as the GC fixpoint in
+    plans/gc.py and blarify's empty-folder cascade). No SQL oracle: the
+    peeling fixpoint is not monotonic (recursive CTEs can only grow),
+    so correctness is pinned by test_analytics_ops.py against a local
+    reference peeler."""
+    edges = _co_order_edges(spark, sf_dir).transform(cut_lineage)
+    adj = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    # all nodes start with core 1 (every node in the edge list has deg>=1)
+    core = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("core", F.lit(1))
+        .transform(cut_lineage)
+    )
+    live = adj
+    n_nodes = core.count()  # also materializes the lineage-cut base
+    k = 2
+    while n_nodes:
+        # peel to the k-core fixpoint: drop nodes with degree < k until
+        # no node falls below k — ONE driver action (keep-count) per
+        # round, every other step stays lazy behind the lineage cut
+        while True:
+            deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("u").transform(cut_lineage)
+            n_keep = keep.count()
+            if n_keep in (0, n_nodes):
+                n_nodes = n_keep
+                break
+            n_nodes = n_keep
+            live = (
+                live.join(keep, "u", "left_semi")
+                .join(
+                    keep.select(F.col("u").alias("v")), "v", "left_semi"
+                )
+                .transform(cut_lineage)
+            )
+        if n_nodes == 0:
+            break
+        survivors = live.select(F.col("u").alias("node")).distinct()
+        core = (
+            core.join(survivors.withColumn("bump", F.lit(1)), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("bump").isNotNull(), F.lit(k))
+                .otherwise(F.col("core"))
+                .alias("core"),
+            )
+            .transform(cut_lineage)
+        )
+        k += 1
+        if k > 64:  # explosion fence: densest plausible core bound
+            break
+    return core.orderBy("node")

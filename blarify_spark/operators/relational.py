@@ -1254,3 +1254,41 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "decile")
     )
+
+
+@register(
+    "window_percent_rank_balances",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           PERCENT_RANK() OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey) AS pr,
+           CUME_DIST() OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def window_percent_rank_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST per market segment (the remaining
+    SQL-standard rank-family windows next to rank/lag/ntile). Both are
+    exact rationals (rank-1)/(n-1) and rank/n evaluated in one IEEE
+    division, and the window ORDER BY carries the unique c_custkey
+    tie-break — bit-identical across engines. One shuffle on the
+    partition key, no second exchange."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

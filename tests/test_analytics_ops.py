@@ -263,3 +263,33 @@ def test_market_basket_metrics_exact(spark):
             abs(r["lift"] - supp * n_orders / (parts[r["p1"]] * parts[r["p2"]]))
             < 1e-9
         )
+
+
+def test_kcore_matches_local_peeling(spark):
+    from blarify_spark.operators.graphops import graph_kcore
+
+    adj: dict[int, set[int]] = {}
+    for r in _co_order_edges(spark, SF_DIR_MEDIUM).collect():
+        adj.setdefault(r["p1"], set()).add(r["p2"])
+        adj.setdefault(r["p2"], set()).add(r["p1"])
+
+    # local reference: batch peeling per k
+    core = {n: 1 for n in adj}
+    live = {n: set(vs) for n, vs in adj.items()}
+    k = 2
+    while live:
+        changed = True
+        while changed:
+            drop = [n for n, vs in live.items() if len(vs) < k]
+            changed = bool(drop)
+            for n in drop:
+                for v in live[n]:
+                    live[v].discard(n)
+                del live[n]
+        for n in live:
+            core[n] = k
+        k += 1
+
+    got = {r["node"]: r["core"] for r in graph_kcore(spark, SF_DIR_MEDIUM).collect()}
+    assert got == core
+    assert max(core.values()) >= 2, "graph has no 2-core — fixture too sparse"
