@@ -226,7 +226,8 @@ GAPFILL_USER_BOUND = 20
     oracle=f"""
     WITH f AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v_cents,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v_cents,
              COUNT(*) AS n
       FROM events WHERE user_id < {GAPFILL_USER_BOUND}
       GROUP BY user_id, date_trunc('hour', ts)
