@@ -475,3 +475,109 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style candidate generation)
+# ---------------------------------------------------------------------------
+
+PREFIX_JACCARD_MIN = 0.5
+
+
+@register(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), rawpairs AS (
+      -- BRUTE FORCE: every co-shingled pair, no cap, no prefix — an
+      -- independent algorithm from the Spark side's prefix filter
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM rawpairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {PREFIX_JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 near-dup pairs over ALL word-3-gram shingles
+    via PPJoin-style prefix filtering — no DF cap, no approximation.
+
+    Where `dedup_ngram_jaccard` buys scale by DROPPING shingles with
+    df > MAX_SHINGLE_DF (boilerplate-heavy corpora lose recall),
+    prefix filtering keeps exactness: order every doc's shingles by one
+    global (df ASC, shingle) key and index only the first
+    n - ceil(T*n) + 1 of them — any pair with J >= T must share a
+    PREFIX shingle (the pigeonhole bound behind PPJoin), so the
+    candidate join runs over the rarest ~(1-T) of each doc's shingles
+    and the boilerplate head never explodes the join. Verification then
+    computes the true intersection per candidate from compact per-doc
+    shingle arrays (array_intersect, JVM-side) — O(na+nb) per
+    candidate, no second token join. The oracle is the BRUTE-FORCE
+    token self-join: two independent algorithms, one value hash."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sh = (
+        fan_out(t["documents"].select("doc_id", "text"))
+        .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_MIN) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    jacc = F.round(
+        common / (F.col("sa.n") + F.col("sb.n") - common), 6
+    )
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -67,3 +67,100 @@ def sketch_quantile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+THETA_LG_K = 14
+
+
+@register("sketch_theta_event_overlap", oracle=None)
+def sketch_theta_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA over user populations: estimate the
+    distinct viewers, distinct purchasers, their union, and their
+    INTERSECTION (viewers who also purchased) from two independently
+    built sketches — next to the exact answers.
+
+    This is the sketch capability HLL lacks (HLL unions but cannot
+    intersect); at 100 TB the two sketches are built in one pass per
+    event partition and merged as fixed-size state, where the exact
+    intersection needs a shuffle-heavy semi-join of the two key sets.
+    Accuracy is test-pinned (<= 5% on this corpus's cardinalities)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id")),
+            F.lit(THETA_LG_K),
+        ).alias("sk_view"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")),
+            F.lit(THETA_LG_K),
+        ).alias("sk_buy"),
+    )
+    est = sk.select(
+        F.theta_sketch_estimate("sk_view").alias("approx_viewers"),
+        F.theta_sketch_estimate("sk_buy").alias("approx_buyers"),
+        F.theta_sketch_estimate(
+            F.theta_union("sk_view", "sk_buy")
+        ).alias("approx_either"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_view", "sk_buy")
+        ).alias("approx_both"),
+    )
+    exact = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_viewers"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_buyers"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("view", "purchase"), F.col("user_id")
+            )
+        ).alias("exact_either"),
+    )
+    return est.crossJoin(exact)
+
+
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+
+
+@register("sketch_cms_part_frequency", oracle=None)
+def sketch_cms_part_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the 10 hottest parts in
+    lineitem, next to exact counts. The CMS is built in ONE aggregate
+    over the full table (fixed eps/confidence state, mergeable
+    map-side); point queries come from the serialized sketch on the
+    driver. The heavy-hitter report a 100 TB ingest pass keeps is this
+    sketch, not the exact groupBy. CMS guarantees estimate >= exact and
+    estimate <= exact + eps*N w.h.p. — both bounds test-pinned."""
+    import pandas as pd
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    exact_top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    sketch_bytes = li.agg(
+        F.count_min_sketch(
+            "l_partkey", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(42)
+        ).alias("cms")
+    ).collect()[0]["cms"]
+    # point-query the sketch driver-side (the sketch IS the shipped
+    # artifact at scale); CountMinSketch java object via the JVM gateway
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = exact_top.collect()
+    pdf = pd.DataFrame(
+        {
+            "l_partkey": [r["l_partkey"] for r in rows],
+            "exact_n": [r["exact_n"] for r in rows],
+            "cms_n": [int(cms.estimateCount(int(r["l_partkey"]))) for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf).orderBy(
+        F.desc("exact_n"), F.asc("l_partkey")
+    )

@@ -13,7 +13,7 @@ from blarify_spark.operators.dedup import (
     dedup_simhash,
 )
 from blarify_spark.operators.similarity import ann_cosine_topk, ann_lsh_topk
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MEDIUM
 
 # sf0.001 keeps the O(n^2)/self-join ground truths cheap.
 
@@ -130,3 +130,37 @@ def test_ngram_jaccard_parity_on_irregular_whitespace(spark, tmp_path):
     assert set(got) == set(want)
     for pair in got:
         assert abs(got[pair] - want[pair]) < 1e-9, pair
+
+
+def test_prefix_jaccard_matches_local_bruteforce_and_prunes(spark):
+    from blarify_spark.operators.dedup import (
+        PREFIX_JACCARD_MIN,
+        dedup_prefix_jaccard,
+    )
+    from blarify_spark.sources.tables import load_tables
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_prefix_jaccard(spark, SF_DIR_MEDIUM).collect()
+    }
+
+    docs = load_tables(spark, SF_DIR_MEDIUM, ["documents"])["documents"].collect()
+    sets = {}
+    for r in docs:
+        w = [t for t in r["text"].split(" ") if t]
+        if len(w) >= 3:
+            sets[r["doc_id"]] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= PREFIX_JACCARD_MIN:
+                expected[(a, b)] = j
+    assert got == expected
+    assert got, "no near-dup pairs at threshold — fixture regression"

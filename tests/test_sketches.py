@@ -50,3 +50,35 @@ def test_sketch_queries_are_registered(spark):
     assert "sketch_hll_user_cardinality" in q
     assert "sketch_quantile_order_values" in q
     assert len(q["sketch_hll_user_cardinality"](spark, SF_DIR_MEDIUM).columns) == 4
+
+
+def test_theta_sketch_set_algebra_accuracy(spark):
+    from blarify_spark.operators.sketches import sketch_theta_event_overlap
+
+    r = sketch_theta_event_overlap(spark, SF_DIR_MEDIUM).collect()[0]
+    exact_both = r["exact_viewers"] + r["exact_buyers"] - r["exact_either"]
+    for approx, exact in [
+        (r["approx_viewers"], r["exact_viewers"]),
+        (r["approx_buyers"], r["exact_buyers"]),
+        (r["approx_either"], r["exact_either"]),
+        (r["approx_both"], exact_both),
+    ]:
+        assert exact > 0
+        assert abs(approx - exact) / exact <= 0.05
+
+
+def test_cms_estimates_respect_bounds(spark):
+    from blarify_spark.operators.sketches import (
+        CMS_EPS,
+        sketch_cms_part_frequency,
+    )
+    from blarify_spark.sources.tables import load_tables
+
+    rows = sketch_cms_part_frequency(spark, SF_DIR_MEDIUM).collect()
+    assert len(rows) == 10
+    n_total = load_tables(spark, SF_DIR_MEDIUM, ["lineitem"])["lineitem"].count()
+    overshoot_cap = CMS_EPS * n_total
+    for r in rows:
+        # CMS never underestimates; overestimate bounded by eps*N
+        assert r["cms_n"] >= r["exact_n"]
+        assert r["cms_n"] <= r["exact_n"] + overshoot_cap
