@@ -101,3 +101,145 @@ def sessionize_stream(pages_stream: DataFrame) -> DataFrame:
         outputMode="append",  # closed sessions are emitted exactly once
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas burst detector (streaming twin of the batch
+# error_burst_windows operator in operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+BURST_WINDOW_US = 86_400 * 1_000_000  # == temporal.ERROR_BURST_WINDOW_S
+BURST_THRESHOLD = 3
+BURST_STATE_CAP = 4096  # explosion fence on per-key retained events
+
+BURST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("errs_24h", T.LongType(), False),
+    ]
+)
+
+
+class BurstProcessor(StatefulProcessor):
+    """Per-user trailing-24h error-burst detector on the NEW
+    transformWithStateInPandas API (Spark 4 arbitrary stateful
+    processing v2): per-key ListState retains error timestamps inside
+    the trailing window of the furthest event seen; each incoming event
+    is scored against merged state and emitted when its trailing count
+    reaches BURST_THRESHOLD. Matches the batch RANGE-frame operator
+    (operators/temporal.py:error_burst_windows) event-for-event on
+    in-event-time-order feeds. Events older than the retained horizon
+    (a late arrival beyond 24h behind the per-key max) would
+    undercount — the same contract a watermark would enforce.
+    State is O(errors in 24h) per key with a hard cap, not O(stream).
+
+    ENVIRONMENT GATE: the TWS state-server protocol needs
+    google.protobuf, which this sandbox lacks (probed: ImportError in
+    transform_with_state_driver_worker; pip installs are not allowed) —
+    so this processor is exercised only where protobuf exists
+    (test_streaming.py skips via importorskip), and burst_stream_v1
+    below carries the SAME semantics on applyInPandasWithState, which
+    has no protobuf dependency and runs here (equality vs the batch
+    operator pinned cross-checkpoint)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent_us", "us BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        new: list[tuple[int, int]] = []
+        for pdf in rows:
+            new.extend(
+                (int(u), int(e)) for u, e in zip(pdf["us"], pdf["event_id"])
+            )
+        if not new:
+            return
+        stored = [int(r[0]) for r in self._recent.get()] if self._recent.exists() else []
+        new.sort()
+        all_us = sorted(stored + [u for u, _ in new])
+        out = []
+        user = key[0]
+        for us, eid in new:
+            lo = us - BURST_WINDOW_US
+            n = sum(1 for v in all_us if lo <= v <= us)
+            if n >= BURST_THRESHOLD:
+                out.append((int(user), eid, n))
+        horizon = all_us[-1] - BURST_WINDOW_US
+        keep = [(v,) for v in all_us if v > horizon][-BURST_STATE_CAP:]
+        self._recent.clear()
+        if keep:
+            self._recent.put(keep)
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "errs_24h"])
+
+    def close(self) -> None:
+        pass
+
+
+def _burst_keyed(events_stream: DataFrame) -> DataFrame:
+    return events_stream.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+
+
+def burst_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming error events -> per-event trailing-24h burst emissions
+    (transformWithStateInPandas; see BurstProcessor's environment gate)."""
+    return _burst_keyed(events_stream).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BurstProcessor(),
+        outputStructType=BURST_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+BURST_STATE_SCHEMA = T.StructType(
+    [T.StructField("recent_us", T.ArrayType(T.LongType()))]
+)
+
+
+def _burst_user_v1(key, pdfs, state: GroupState):  # noqa: ANN001
+    """applyInPandasWithState twin of BurstProcessor — identical
+    emission semantics, state carried as one array<long> of retained
+    in-window timestamps."""
+    user = key[0]
+    new: list[tuple[int, int]] = []
+    for pdf in pdfs:
+        new.extend((int(u), int(e)) for u, e in zip(pdf["us"], pdf["event_id"]))
+    if not new:
+        return
+    stored = list(state.get[0]) if state.exists else []
+    new.sort()
+    all_us = sorted(stored + [u for u, _ in new])
+    out = []
+    for us, eid in new:
+        lo = us - BURST_WINDOW_US
+        n = sum(1 for v in all_us if lo <= v <= us)
+        if n >= BURST_THRESHOLD:
+            out.append((int(user), eid, n))
+    horizon = all_us[-1] - BURST_WINDOW_US
+    state.update(([v for v in all_us if v > horizon][-BURST_STATE_CAP:],))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "errs_24h"])
+
+
+def burst_stream_v1(events_stream: DataFrame) -> DataFrame:
+    """Streaming error events -> burst emissions on the v1 stateful API
+    (applyInPandasWithState) — the path that runs in this sandbox."""
+    return _burst_keyed(events_stream).groupBy("user_id").applyInPandasWithState(
+        _burst_user_v1,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -310,3 +310,69 @@ def test_streaming_kg_update_matches_batch_incremental(spark, tmp_path):
         os.path.join(out_s, "b000001", "crawl_chain")
     ).orderBy("ord")
     assert [r["crawl_id"] for r in chain.collect()] == ["b000000", "b000001"]
+
+
+def test_tws_burst_detector_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas burst detector vs the batch operator —
+    SKIPPED where google.protobuf is absent (the TWS state-server
+    protocol needs it; this sandbox has no protobuf and no pip)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    _run_burst_stream_test(spark, tmp_path, use_tws=True)
+
+
+def test_v1_burst_detector_matches_batch(spark, tmp_path):
+    """applyInPandasWithState burst detector emits exactly the batch
+    RANGE-frame operator's rows when the stream arrives in event-time
+    order across TWO separate availableNow runs (state and emissions
+    survive the checkpoint boundary)."""
+    _run_burst_stream_test(spark, tmp_path, use_tws=False)
+
+
+def _run_burst_stream_test(spark, tmp_path, use_tws: bool):
+    from blarify_spark.operators.temporal import error_burst_windows
+    from blarify_spark.sources.tables import load_tables
+    from blarify_spark.streaming.stateful import burst_stream, burst_stream_v1
+    from tests.conftest import SF_DIR_MEDIUM
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    ev = load_tables(spark, SF_DIR_MEDIUM, ["events"])["events"]
+    split_ts = "2024-01-15 00:00:00"
+    ev.filter(F.col("ts") < split_ts).coalesce(1).write.mode("append").parquet(src)
+
+    mk = burst_stream if use_tws else burst_stream_v1
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(src)
+        )
+        q = (
+            mk(stream)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .format("parquet")
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(out).count()
+
+    ev.filter(F.col("ts") >= split_ts).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r["user_id"], r["event_id"]): r["errs_24h"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r["user_id"], r["event_id"]): r["errs_24h"]
+        for r in error_burst_windows(spark, SF_DIR_MEDIUM).collect()
+    }
+    assert got == expected
+    assert 0 < n1 < len(got), "both batches must contribute emissions"
