@@ -443,3 +443,81 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k > 64:  # explosion fence: densest plausible core bound
             break
     return core.orderBy("node")
+
+
+WALK_STEPS = 4
+
+
+@register(
+    "graph_random_walks",
+    # WITH RECURSIVE must head the CTE list for the walk fixpoint
+    oracle=_EDGES_CTE.replace("WITH li", "WITH RECURSIVE li", 1)
+    + f"""
+    , adj AS (
+      SELECT p1 AS u, p2 AS v FROM edges
+      UNION ALL SELECT p2, p1 FROM edges
+    ), walk AS (
+      SELECT DISTINCT u AS start_node, 0 AS step, u AS node FROM adj
+      UNION ALL
+      SELECT w.start_node, w.step + 1,
+             (SELECT a.v FROM adj a WHERE a.u = w.node
+              ORDER BY md5(CAST(w.start_node AS VARCHAR) || '-'
+                           || CAST(w.step AS VARCHAR) || '-'
+                           || CAST(a.v AS VARCHAR)), a.v
+              LIMIT 1) AS node
+      FROM walk w WHERE w.step < {WALK_STEPS}
+    )
+    SELECT start_node, CAST(step AS INT) AS step, node
+    FROM walk ORDER BY start_node, step
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded walks (the node2vec/DeepWalk corpus
+    generator, made engine-reproducible): from every node, WALK_STEPS
+    steps where the next hop minimizes md5(start-step-neighbor) — a
+    uniform pseudo-random choice that is a pure function of
+    (start, step, neighbor), so any engine, any partitioning, any run
+    picks the same walk (the same determinism contract as
+    stratified_sample_orders).
+
+    One bounded join per step (frontier x adjacency, then a min_by per
+    walk — map-side combinable); walks never leave the executor grid.
+    The oracle re-derives every hop with a correlated recursive CTE —
+    independent control flow, same md5 tie-break."""
+    edges = _co_order_edges(spark, sf_dir).transform(cut_lineage)
+    adj = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    walk = (
+        adj.select(F.col("u").alias("start_node"))
+        .distinct()
+        .select("start_node", F.lit(0).alias("step"), F.col("start_node").alias("node"))
+    )
+    out = walk
+    for step in range(WALK_STEPS):
+        frontier = walk.filter(F.col("step") == step)
+        score = F.md5(
+            F.concat_ws(
+                "-",
+                F.col("start_node").cast("string"),
+                F.lit(str(step)),
+                F.col("v").cast("string"),
+            )
+        )
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .groupBy("start_node")
+            .agg(
+                F.min(F.struct(score.alias("s"), F.col("v").alias("v"))).alias(
+                    "pick"
+                )
+            )
+            .select(
+                "start_node",
+                F.lit(step + 1).alias("step"),
+                F.col("pick.v").alias("node"),
+            )
+        )
+        walk = nxt
+        out = out.unionByName(nxt)
+    return out.orderBy("start_node", "step")

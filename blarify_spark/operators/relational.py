@@ -1292,3 +1292,64 @@ def window_percent_rank_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "fuzzy_part_name_match",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n_parts AS BIGINT) AS n_a,
+           CAST(b.n_parts AS BIGINT) AS n_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join: candidate part-name pairs share a
+    blocking key (the head noun — the classic entity-linking blocking
+    step, blarify's candidate generation analog), then verify with
+    edit distance <= 3. Blocking turns the O(names²) comparison into
+    per-block self-joins; Levenshtein is an exact integer DP, identical
+    in both engines. The distinct-name aggregate runs FIRST, so the
+    quadratic step sees unique names, never the part table."""
+    t = load_tables(spark, sf_dir, ["part"])
+    names = (
+        t["part"]
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "p_name",
+            "n_parts",
+            F.element_at(F.split("p_name", " "), -1).alias("block"),
+        )
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+            F.col("a.n_parts").cast("bigint").alias("n_a"),
+            F.col("b.n_parts").cast("bigint").alias("n_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )

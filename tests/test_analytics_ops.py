@@ -293,3 +293,54 @@ def test_kcore_matches_local_peeling(spark):
     got = {r["node"]: r["core"] for r in graph_kcore(spark, SF_DIR_MEDIUM).collect()}
     assert got == core
     assert max(core.values()) >= 2, "graph has no 2-core — fixture too sparse"
+
+
+def test_random_walks_follow_edges_deterministically(spark):
+    from blarify_spark.operators.graphops import WALK_STEPS, graph_random_walks
+
+    adj: dict[int, set[int]] = {}
+    for r in _co_order_edges(spark, SF_DIR_MEDIUM).collect():
+        adj.setdefault(r["p1"], set()).add(r["p2"])
+        adj.setdefault(r["p2"], set()).add(r["p1"])
+
+    rows = graph_random_walks(spark, SF_DIR_MEDIUM).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["start_node"], {})[r["step"]] = r["node"]
+    assert set(walks) == set(adj)
+    for start, steps in walks.items():
+        assert steps[0] == start
+        assert sorted(steps) == list(range(WALK_STEPS + 1))
+        for i in range(WALK_STEPS):
+            assert steps[i + 1] in adj[steps[i]], "walk left the graph"
+    # determinism: a second evaluation picks identical walks
+    again = {
+        (r["start_node"], r["step"]): r["node"]
+        for r in graph_random_walks(spark, SF_DIR_MEDIUM).collect()
+    }
+    assert again == {(s, i): n for s, st in walks.items() for i, n in st.items()}
+
+
+def test_fuzzy_name_match_blocks_and_distances(spark):
+    from blarify_spark.operators.relational import (
+        FUZZY_MAX_DIST,
+        fuzzy_part_name_match,
+    )
+
+    def lev(x: str, y: str) -> int:
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = fuzzy_part_name_match(spark, SF_DIR_MEDIUM).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+        assert r["dist"] == lev(r["name_a"], r["name_b"]) <= FUZZY_MAX_DIST
+        assert r["n_a"] > 0 and r["n_b"] > 0
