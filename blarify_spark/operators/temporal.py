@@ -416,3 +416,53 @@ def error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("errs_24h") >= 3)
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS prev_type, next_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-modeling / next-action primitive): LEAD over
+    (ts, event_id) pairs each event with its successor, then one
+    aggregate yields counts and row-normalized probabilities.
+
+    One shuffle on user_id for the sequence window; the transition
+    aggregate is 25 rows (5x5 types) regardless of corpus size, so the
+    normalizing window is driver-trivial. The (ts, event_id) ordering
+    is total — ties cannot flip successors between engines — and prob
+    is one IEEE division of exact counts."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("prob"),
+    ).orderBy("prev_type", "next_type")

@@ -344,3 +344,34 @@ def test_fuzzy_name_match_blocks_and_distances(spark):
         assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
         assert r["dist"] == lev(r["name_a"], r["name_b"]) <= FUZZY_MAX_DIST
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_markov_transitions_rows_normalize_and_match_replay(spark):
+    from blarify_spark.operators.temporal import event_markov_transitions
+    from blarify_spark.sources.tables import load_tables
+
+    rows = event_markov_transitions(spark, SF_DIR_MEDIUM).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-9, prev
+
+    ev = (
+        load_tables(spark, SF_DIR_MEDIUM, ["events"])["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts: dict[tuple, int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in rows}
+    assert got == counts
