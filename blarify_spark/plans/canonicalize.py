@@ -111,6 +111,9 @@ def _minhash_signature(shingle_col) -> F.Column:  # noqa: ANN001
 
     h_i(s) = xxhash64(i, s) — the literal index seeds an independent hash
     family member; no modular arithmetic, no long overflow.
+
+    (Reference form — lsh_bands_raw computes the identical values via
+    explode + codegen min-aggregates; see the note there.)
     """
 
     def _hash_fn(i: int):
@@ -129,8 +132,17 @@ def lsh_bands(nodes: DataFrame) -> DataFrame:
     This is the structure a 10^12-document deployment PERSISTS as the
     similarity index: build once per snapshot, probe many times
     (candidate_pairs self-join, incremental-update delta probes in
-    plans/recanon.py)."""
-    return cap_bands(lsh_bands_raw(nodes))
+    plans/recanon.py).
+
+    The raw band table is materialized here (eager lineage cut) for the
+    same reason production persists it: downstream the table fans out to
+    FIVE consumers (both sides of the bucket self-join, the bucket-size
+    histogram, and the two shingle re-joins), and without a
+    materialization barrier AQE launches each consumer's leaf stage
+    independently — the whole signature pipeline then executes once PER
+    CONSUMER (observed: ~12 concurrent duplicate 32-task stages at bench
+    scale). One job builds the index; every probe reads blocks."""
+    return cap_bands(lsh_bands_raw(nodes).transform(cut_lineage))
 
 
 def lsh_bands_raw(nodes: DataFrame) -> DataFrame:
@@ -139,13 +151,41 @@ def lsh_bands_raw(nodes: DataFrame) -> DataFrame:
     table is (previous raw bands for surviving nodes) UNION (bands of new
     nodes) — see plans/recanon.py:bands_patch. The MAX_BUCKET guard is
     membership-dependent and therefore applied at probe time
-    (cap_bands), never baked into the persisted table."""
+    (cap_bands), never baked into the persisted table.
+
+    Signature computation is explode + codegen min-aggregates instead of
+    H interpreted higher-order array passes: Catalyst lambdas
+    (transform/array_min) are evaluated per element OUTSIDE whole-stage
+    codegen, while min(xxhash64(i, sh)) over the exploded shingles stays
+    inside codegen with map-side partial aggregation (the same rewrite
+    measured ~2x on the document dedup path, operators/dedup.py). The
+    min values are IDENTICAL to the _minhash_signature form — same
+    xxhash64(i, shingle) family over the same distinct shingles — so band
+    keys, the persisted band-table contract, and every downstream pair
+    are unchanged. When `nodes` arrives hash-partitioned by node_id (it
+    is a groupBy(node_id) product in every caller), neither the signature
+    aggregation nor the shingle re-join inserts an Exchange.
+    """
     prepared = nodes.select(
         "node_id",
         char_shingles(normalized_name(F.col("name"))).alias("shingles"),
-    ).withColumn("sig", _minhash_signature(F.col("shingles")))
+    )
+    sig_rows = (
+        prepared.select("node_id", F.explode("shingles").alias("_sh"))
+        .groupBy("node_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+    )
 
-    bands = prepared.select(
+    # left join: a node with a null/empty shingle set has no exploded
+    # rows and thus no sig row; null _h columns then reproduce exactly
+    # what the HOF form computed (concat_ws skips nulls), keeping the
+    # band keys bit-identical for every input.
+    bands = prepared.join(sig_rows, "node_id", "left").select(
         "node_id",
         "shingles",
         F.explode(
@@ -156,7 +196,7 @@ def lsh_bands_raw(nodes: DataFrame) -> DataFrame:
                             "|",
                             F.lit(bi),
                             *[
-                                F.col("sig")[bi * ROWS_PER_BAND + r]
+                                F.col(f"_h{bi * ROWS_PER_BAND + r}")
                                 for r in range(ROWS_PER_BAND)
                             ],
                         )
@@ -212,7 +252,16 @@ def pairs_from_bands(
 ) -> DataFrame:
     """Verified pairs from a (possibly pre-materialized) band table —
     callers that probe the same snapshot repeatedly build lsh_bands once
-    and reuse it here."""
+    and reuse it here.
+
+    The bucket self-join carries ONLY (band_key, node_id) — the shingle
+    arrays are re-attached per node AFTER candidate dedup (the payload-
+    slim shuffle rule, guide §2.3, mirrored from operators/dedup.py's
+    minhash path): the B-way band explode would otherwise ship every
+    node's shingle array B times through the self-join exchange, and each
+    surviving candidate pair twice more through dropDuplicates. The
+    shingle lookup table is one row per node and joins on node_id —
+    broadcastable at probe scale, co-partitioned at snapshot scale."""
     left_bands = (
         bands
         if probe_ids is None
@@ -221,14 +270,10 @@ def pairs_from_bands(
         )
     )
     left = left_bands.select(
-        F.col("band_key"),
-        F.col("node_id").alias("src"),
-        F.col("shingles").alias("src_sh"),
+        F.col("band_key"), F.col("node_id").alias("src")
     )
     right = bands.select(
-        F.col("band_key"),
-        F.col("node_id").alias("dst"),
-        F.col("shingles").alias("dst_sh"),
+        F.col("band_key"), F.col("node_id").alias("dst")
     )
     if probe_ids is None:
         pairs = (
@@ -247,12 +292,21 @@ def pairs_from_bands(
             .select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
-                # jaccard is symmetric; keep shingles in join order
-                "src_sh",
-                "dst_sh",
             )
             .dropDuplicates(["src", "dst"])
         )
+    sh_map = bands.select("node_id", "shingles").dropDuplicates(["node_id"])
+    pairs = pairs.join(
+        sh_map.select(
+            F.col("node_id").alias("src"), F.col("shingles").alias("src_sh")
+        ),
+        "src",
+    ).join(
+        sh_map.select(
+            F.col("node_id").alias("dst"), F.col("shingles").alias("dst_sh")
+        ),
+        "dst",
+    )
     jaccard = F.size(F.array_intersect("src_sh", "dst_sh")) / F.size(
         F.array_union("src_sh", "dst_sh")
     )
@@ -273,13 +327,6 @@ def connected_components(
     its neighbors; terminate when no label changes (checked via a cheap
     aggregate) or after max_rounds.
     """
-    # checkpoint the symmetric edge list: every loop round joins against
-    # it, and without materialization the whole MinHash-LSH blocking
-    # lineage would re-execute per round
-    sym = pairs.select("src", "dst").union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(cut_lineage)
-
     # Adaptive physical strategy (the broadcast-join-threshold idea
     # applied to graph labeling): a near-dup similarity graph is usually
     # a TINY fraction of the corpus, and the distributed loop costs
@@ -289,9 +336,23 @@ def connected_components(
     # O(pairs a(n)) and skip the loop entirely; anything larger takes
     # the distributed path. Labels are identical: both compute
     # canon = min(node_id) over each connected component.
-    probe = sym.limit(CC_LOCAL_MAX_PAIRS + 1).count()
-    if probe <= CC_LOCAL_MAX_PAIRS:
-        rows = sym.collect()  # <= ~32MB of id pairs by the bound above
+    #
+    # Materialize the UNDIRECTED pair list exactly once (eager lineage
+    # cut), then probe and fetch from the materialized blocks: the
+    # expensive LSH-verify pipeline executes in ONE job, and the size
+    # probe plus (on the local path) the full collect are near-free block
+    # reads. The former shape — checkpoint of the 2x symmetric list, a
+    # limit().count() probe and a separate collect — executed that
+    # pipeline up to three times. (A limit(N).collect() probe is NOT an
+    # alternative: executeTake scans partitions in doubling rounds and
+    # re-runs the whole pipeline per round — measured 14 sequential
+    # full-pipeline jobs at bench scale.)
+    pairs_m = pairs.select("src", "dst").transform(cut_lineage)
+    n_pairs = pairs_m.count()
+    if n_pairs <= CC_LOCAL_MAX_PAIRS // 2:
+        # <= ~32MB of id pairs by the bound above (undirected rows are
+        # half the former symmetric count, hence MAX/2)
+        head = pairs_m.collect()
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:
@@ -302,16 +363,17 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in rows:
+        for row in head:
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 # min-id representative keeps labels identical to the
                 # min-propagation loop
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        labels_rows = sorted(
-            {(x, find(x)) for x in set(parent) | {r[0] for r in rows}}
-        )
+        touched = set(parent)
+        touched.update(r[0] for r in head)
+        touched.update(r[1] for r in head)
+        labels_rows = sorted({(x, find(x)) for x in touched})
         spark = nodes.sparkSession
         labels = spark.createDataFrame(
             labels_rows or [], "node_id string, canon_id string"
@@ -324,6 +386,12 @@ def connected_components(
             "node_id",
             F.coalesce("canon_id", "node_id").alias("canon_id"),
         )
+
+    # the symmetric edge list reads the materialized pair blocks twice —
+    # no further checkpoint needed for the per-round loop joins
+    sym = pairs_m.union(
+        pairs_m.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     # Iterate ONLY over pair-connected nodes: near-duplicate clusters are
     # a tiny fraction of a web corpus, so every loop job runs on the
     # small connected subset; singletons get identity labels via one

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from blarify_spark.functions.partitioning import fan_in
 from blarify_spark.functions.udfs import (
     extract_all_udf,
     extract_mentions_udf,
@@ -32,8 +33,15 @@ def extract_all_stage(pages: DataFrame) -> DataFrame:
     pure JVM — this is the hot-path plan (the split stages below remain as
     the parity/compat surface).
 
+    fan_in folds a finely-split input down to the session parallelism
+    before the Python crossing: each Arrow-UDF task carries a fixed
+    JVM<->Python latency, so in the tiny-task regime fewer, fuller tasks
+    are strictly faster (guide §4.1); wide production scans pass through
+    untouched.
+
     Output: pages columns + text, extract_status, mentions, triples.
     """
+    pages = fan_in(pages)
     ex = extract_all_udf(F.col("html"), F.col("text"), F.col("lang"))
     out = pages.withColumn("_ex", ex).select(
         "url",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from blarify_spark.functions.checkpoint import cut_lineage
 from blarify_spark.functions.udfs import ctx_embedding_udf
 from blarify_spark.corpus import EMB_DIM
 from blarify_spark.functions.vector import cosine_fixed
@@ -136,8 +137,15 @@ def page_entity_links(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     top-1 (shuffle 1) followed by per-page groupBy (shuffle 2), aggregate
     straight to the page level — same deterministic result (min over all
     candidate rows by (-score, entity_id)), half the shuffle volume.
+
+    One exchange serves the whole link chain (guide §2.4): mentions are
+    hash-partitioned by url up front, which satisfies the clustering
+    requirement of BOTH this groupBy(url, surface) and the downstream
+    per-url map aggregation in link_triples — neither inserts its own
+    Exchange, and the url-keyed partitioning is what the triple join
+    needs anyway.
     """
-    cand = _score_candidates(mentions, alias_df)
+    cand = _score_candidates(mentions.repartition("url"), alias_df)
     payload = F.struct(
         F.col("surface_key"),
         F.col("entity_id"),
@@ -267,6 +275,15 @@ def link_triples(triples: DataFrame, linked_mentions: DataFrame, _page_links: Da
     # lookup. Halves the shuffle volume over the wide triple table (the
     # dominant linking cost at scale); the extra map-build aggregation
     # shuffles only (url, surface) pairs down to one row per url.
+    #
+    # cut_lineage (eager): page_map is the ONLY consumer of the mention
+    # branch, and materializing it first means exactly one plan branch
+    # touches the (persisted) extraction per job. Without the barrier,
+    # AQE launches the mention-branch and triple-branch leaf stages
+    # CONCURRENTLY, and both race to materialize the extraction cache —
+    # the expensive Arrow extraction UDF then runs ~twice per partition
+    # (measured: two parallel 128-task ArrowEval stages in the bench
+    # profile). The checkpointed table is one narrow row per url.
     page_map = page_links.groupBy("url").agg(
         F.map_from_entries(
             F.collect_list(
@@ -276,7 +293,7 @@ def link_triples(triples: DataFrame, linked_mentions: DataFrame, _page_links: Da
                 )
             )
         ).alias("_lm")
-    )
+    ).transform(cut_lineage)
     j = triples.join(page_map, "url", "left")
     s_hit = F.element_at("_lm", F.col("subj"))
     o_hit = F.element_at("_lm", F.col("obj"))

@@ -98,6 +98,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE rewrite of planned sort-merge joins to shuffled-hash at
+        # runtime when every post-shuffle partition is under 64 MB
+        # (guide §3.1): saves both sort passes, and is scale-safe because
+        # the bound is PER-PARTITION, independent of total input size.
+        # (A/B at sf0.1 measured neutral — the headline joins are mostly
+        # broadcast there — but at shuffle-bound scale the sorts are
+        # real; static planning is untouched, so bucketed-join plans and
+        # plan-pinned tests are unaffected.)
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
