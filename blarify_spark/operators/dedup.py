@@ -199,8 +199,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the anti-join) sizes + both sides of the pair self-join — without it
     # the corpus is re-scanned and re-shingled up to 4x (the round-2 perf
     # regression)
+    # fan_out keyed by doc_id: the checkpointed shingle table then carries
+    # HashPartitioning(doc_id), so the per-doc size aggregation below
+    # reuses it instead of inserting its own exchange
     sh0 = (
-        fan_out(t["documents"])
+        fan_out(t["documents"], "doc_id")
         .filter(F.size(nonempty) >= NGRAM_N)
         .select("doc_id", F.explode(word_ngrams(F.col("text"))).alias("shingle"))
         .transform(cut_lineage)
@@ -333,10 +336,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     # localCheckpoint: the (doc_id, shingles) projection is read three
     # times (band build + the two verify-side joins) — materialize it once
-    # instead of re-scanning and re-shingling the corpus per consumer
+    # instead of re-scanning and re-shingling the corpus per consumer.
+    # fan_out keyed by doc_id: the checkpoint then carries
+    # HashPartitioning(doc_id), which the signature aggregation AND both
+    # verify-side joins reuse — without it, AQE shuffled the wide shingle
+    # arrays by doc_id TWICE (one leaf exchange per verify side, measured
+    # ~0.75 s each at sf0.1) plus once more for the signature groupBy.
     nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     docs = (
-        fan_out(t["documents"])
+        fan_out(t["documents"], "doc_id")
         .filter(F.size(nonempty) >= NGRAM_N)
         .select("doc_id", word_ngrams(F.col("text")).alias("shingles"))
         .transform(cut_lineage)
