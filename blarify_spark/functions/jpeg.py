@@ -432,6 +432,11 @@ def _decode(data: bytes) -> tuple[int, int, bytes] | None:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return None
+        # spec-legal 0xFF fill bytes may pad the gap between segments
+        # (ITU-T T.81 B.1.1.2); skip the run so the marker code is read
+        # from the byte after the LAST 0xFF (ADVICE r05)
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -521,6 +526,20 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart):
             if restart and n_mcu and n_mcu % restart == 0:
                 br.align_and_eat_rst()
                 preds = {cid: 0 for cid in preds}
+            elif (
+                n_mcu
+                and br.nbits < 8
+                and br.pos + 1 < len(data)
+                and data[br.pos] == 0xFF
+                and 0xD0 <= data[br.pos + 1] <= 0xD7
+            ):
+                # RST sitting exactly on an MCU boundary without matching
+                # DRI bookkeeping (encoder quirk): tolerate it — consume
+                # the marker, reset predictors, decode this MCU normally.
+                # (nbits < 8 means only sub-byte padding remains buffered,
+                # i.e. the entropy stream is genuinely at the marker.)
+                br.align_and_eat_rst()
+                preds = {cid: 0 for cid in preds}
             try:
                 for cid, hi, vi, qt, dct, act in order:
                     for by in range(vi):
@@ -531,15 +550,13 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart):
                             r0 = (my * vi + by) * 8
                             c0 = (mx * hi + bx) * 8
                             planes[cid][r0 : r0 + 8, c0 : c0 + 8] = blk
-            except _MarkerHit as mh:
-                if 0xD0 <= mh.marker <= 0xD7:
-                    # tolerated restart without DRI bookkeeping mismatch
-                    br.pos += 1
-                    br.acc = 0
-                    br.nbits = 0
-                    preds = {cid: 0 for cid in preds}
-                else:
-                    return None
+            except _MarkerHit:
+                # ANY marker mid-MCU — including an unexpected RSTn — is a
+                # decode error: the former skip-the-rest-of-the-MCU
+                # tolerance left zero-initialized blocks decoding as
+                # silent mid-gray pixels (ADVICE r05); the contract is
+                # None on malformed input.
+                return None
             n_mcu += 1
 
     # upsample each component to full resolution and crop

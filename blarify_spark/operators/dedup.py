@@ -579,13 +579,14 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     common = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
-    jacc = F.round(
-        common / (F.col("sa.n") + F.col("sb.n") - common), 6
-    )
+    jacc_raw = common / (F.col("sa.n") + F.col("sb.n") - common)
+    # Filter on the UNROUNDED ratio and round only for display — the same
+    # order of operations as the oracle (ADVICE r05: a pair with true J in
+    # [T - 5e-7, T) must not pass the Spark side while failing the oracle).
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jacc.alias("jaccard"))
-        .filter(F.col("jaccard") >= PREFIX_JACCARD_MIN)
+        .filter(jacc_raw >= PREFIX_JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jacc_raw, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

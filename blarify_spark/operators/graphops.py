@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.checkpoint import cut_lazy, cut_lineage
 from blarify_spark.operators.registry import register
 from blarify_spark.sources.tables import load_tables
 
@@ -402,18 +402,22 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("core", F.lit(1))
-        .transform(cut_lineage)
+        .transform(cut_lazy)
     )
     live = adj
     n_nodes = core.count()  # also materializes the lineage-cut base
     k = 2
     while n_nodes:
         # peel to the k-core fixpoint: drop nodes with degree < k until
-        # no node falls below k — ONE driver action (keep-count) per
-        # round, every other step stays lazy behind the lineage cut
+        # no node falls below k — ONE driver action per round: the
+        # keep-count both answers convergence AND materializes the LAZY
+        # lineage cuts of this round's keep set and the previous round's
+        # live set (deferred cut_lazy folds each checkpoint into work
+        # that runs anyway — the workflow_traces treatment, VERDICT r05
+        # #6; the former eager cut was a second full job per round).
         while True:
             deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-            keep = deg.filter(F.col("d") >= k).select("u").transform(cut_lineage)
+            keep = deg.filter(F.col("d") >= k).select("u").transform(cut_lazy)
             n_keep = keep.count()
             if n_keep in (0, n_nodes):
                 n_nodes = n_keep
@@ -424,7 +428,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(
                     keep.select(F.col("u").alias("v")), "v", "left_semi"
                 )
-                .transform(cut_lineage)
+                .transform(cut_lazy)
             )
         if n_nodes == 0:
             break

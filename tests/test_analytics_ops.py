@@ -295,6 +295,26 @@ def test_kcore_matches_local_peeling(spark):
     assert max(core.values()) >= 2, "graph has no 2-core — fixture too sparse"
 
 
+def test_kcore_driver_job_budget(spark):
+    """VERDICT r05 #6 (the workflow_traces treatment applied to k-core):
+    each peel round must cost ONE driver action — the keep-count, which
+    also materializes that round's deferred lineage cuts — not an eager
+    checkpoint job per cut plus the count. sf0.001 ran ~73 jobs under the
+    eager shape and ~61 under the single-action loop; bound at 68 so a
+    regression to two actions per round fails."""
+    from blarify_spark.operators.graphops import graph_kcore
+
+    sc = spark.sparkContext
+    sc.setJobGroup("kcore_job_budget", "kcore job budget")
+    try:
+        rows = graph_kcore(spark, SF_DIR).collect()
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("kcore_job_budget"))
+    finally:
+        sc.setJobGroup("", "")
+    assert rows, "k-core returned no rows at sf0.001"
+    assert n_jobs <= 68, f"k-core peeling ran {n_jobs} jobs at sf0.001"
+
+
 def test_random_walks_follow_edges_deterministically(spark):
     from blarify_spark.operators.graphops import WALK_STEPS, graph_random_walks
 

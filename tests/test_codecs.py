@@ -353,6 +353,54 @@ def test_jpeg_restart_markers_roundtrip():
         assert dec == base
 
 
+def test_jpeg_fill_bytes_between_segments_accepted():
+    """ADVICE r05: spec-legal 0xFF fill bytes between segments (ITU-T
+    T.81 B.1.1.2) must not derail the marker walk — the marker code is
+    the byte after the LAST 0xFF of the run."""
+    from blarify_spark.functions import jpeg
+
+    w, h = 24, 17
+    enc = jpeg.make_jpeg(w, h, _smooth_bgr(w, h))
+    base = jpeg.jpeg_pixels(enc)
+    assert base is not None
+    # pad the gap before the DQT segment with a run of fill bytes
+    i = enc.index(b"\xff\xdb")
+    padded = enc[:i] + b"\xff" * 5 + enc[i:]
+    assert jpeg.jpeg_pixels(padded) == base
+
+
+def test_jpeg_boundary_rst_without_dri_tolerated():
+    """An RST landing exactly on an MCU boundary but without matching
+    DRI bookkeeping (encoder quirk) is consumed and predictors reset —
+    the decode equals the with-DRI decode, no skipped blocks."""
+    from blarify_spark.functions import jpeg
+
+    w, h = 40, 24
+    img = _smooth_bgr(w, h)
+    base = jpeg.jpeg_pixels(jpeg.make_jpeg(w, h, img))
+    enc = jpeg.make_jpeg(w, h, img, restart=2)
+    i = enc.index(b"\xff\xdd")
+    stripped = enc[:i] + enc[i + 6 :]  # excise the DRI segment entirely
+    assert b"\xff\xdd" not in stripped
+    assert jpeg.jpeg_pixels(stripped) == base
+
+
+def test_jpeg_unexpected_rst_mid_mcu_is_decode_error():
+    """ADVICE r05: an RST arriving MID-MCU must be a clean None — the
+    former tolerance skipped the rest of the MCU and silently emitted
+    zero-initialized (mid-gray) blocks."""
+    from blarify_spark.functions import jpeg
+
+    w, h = 40, 24
+    enc = jpeg.make_jpeg(w, h, _smooth_bgr(w, h))
+    sos = enc.index(b"\xff\xda")
+    (seglen,) = __import__("struct").unpack(">H", enc[sos + 2 : sos + 4])
+    scan_start = sos + 2 + seglen
+    # inject an RST one byte into the entropy stream: mid-MCU 0
+    corrupt = enc[: scan_start + 1] + b"\xff\xd0" + enc[scan_start + 1 :]
+    assert jpeg.jpeg_pixels(corrupt) is None
+
+
 def test_jpeg_dispatch_dims_and_failures():
     from blarify_spark.functions import codecs, jpeg
 
