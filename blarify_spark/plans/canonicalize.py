@@ -254,35 +254,56 @@ def pairs_from_bands(
     callers that probe the same snapshot repeatedly build lsh_bands once
     and reuse it here.
 
-    The bucket self-join carries ONLY (band_key, node_id) — the shingle
-    arrays are re-attached per node AFTER candidate dedup (the payload-
-    slim shuffle rule, guide §2.3, mirrored from operators/dedup.py's
-    minhash path): the B-way band explode would otherwise ship every
-    node's shingle array B times through the self-join exchange, and each
-    surviving candidate pair twice more through dropDuplicates. The
-    shingle lookup table is one row per node and joins on node_id —
-    broadcastable at probe scale, co-partitioned at snapshot scale."""
-    left_bands = (
-        bands
-        if probe_ids is None
-        else bands.join(
-            probe_ids.select("node_id").distinct(), "node_id", "left_semi"
-        )
-    )
-    left = left_bands.select(
-        F.col("band_key"), F.col("node_id").alias("src")
-    )
-    right = bands.select(
-        F.col("band_key"), F.col("node_id").alias("dst")
-    )
+    In full-snapshot mode the bucket self-join carries ONLY
+    (band_key, node_id) — the shingle arrays are re-attached per node
+    AFTER candidate dedup (the payload-slim shuffle rule, guide §2.3,
+    mirrored from operators/dedup.py's minhash path): the B-way band
+    explode would otherwise ship every node's shingle array B times
+    through the self-join exchange, and each surviving candidate pair
+    twice more through dropDuplicates. In PROBE mode the arrays keep
+    riding the join instead: the probe-filtered join touches O(|probe| x
+    bucket) rows, while a per-node shingle lookup would be a FULL-table
+    aggregation per probe — exactly the O(corpus)-per-delta cost
+    incremental recanonicalization exists to avoid (measured: +14 s on
+    kg_recanon_affected when the lookup was unconditional)."""
     if probe_ids is None:
+        left = bands.select(F.col("band_key"), F.col("node_id").alias("src"))
+        right = bands.select(F.col("band_key"), F.col("node_id").alias("dst"))
         pairs = (
             left.join(right, "band_key")
             .filter(F.col("src") < F.col("dst"))
             .drop("band_key")
             .dropDuplicates(["src", "dst"])
         )
+        sh_map = bands.select("node_id", "shingles").dropDuplicates(
+            ["node_id"]
+        )
+        pairs = pairs.join(
+            sh_map.select(
+                F.col("node_id").alias("src"),
+                F.col("shingles").alias("src_sh"),
+            ),
+            "src",
+        ).join(
+            sh_map.select(
+                F.col("node_id").alias("dst"),
+                F.col("shingles").alias("dst_sh"),
+            ),
+            "dst",
+        )
     else:
+        left = bands.join(
+            probe_ids.select("node_id").distinct(), "node_id", "left_semi"
+        ).select(
+            F.col("band_key"),
+            F.col("node_id").alias("src"),
+            F.col("shingles").alias("src_sh"),
+        )
+        right = bands.select(
+            F.col("band_key"),
+            F.col("node_id").alias("dst"),
+            F.col("shingles").alias("dst_sh"),
+        )
         # probe side is only one end of each pair, so canonicalize the
         # orientation AFTER the join instead of filtering src < dst
         pairs = (
@@ -292,21 +313,12 @@ def pairs_from_bands(
             .select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
+                # jaccard is symmetric; keep shingles in join order
+                "src_sh",
+                "dst_sh",
             )
             .dropDuplicates(["src", "dst"])
         )
-    sh_map = bands.select("node_id", "shingles").dropDuplicates(["node_id"])
-    pairs = pairs.join(
-        sh_map.select(
-            F.col("node_id").alias("src"), F.col("shingles").alias("src_sh")
-        ),
-        "src",
-    ).join(
-        sh_map.select(
-            F.col("node_id").alias("dst"), F.col("shingles").alias("dst_sh")
-        ),
-        "dst",
-    )
     jaccard = F.size(F.array_intersect("src_sh", "dst_sh")) / F.size(
         F.array_union("src_sh", "dst_sh")
     )
