@@ -33,34 +33,11 @@ def fan_out(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
-def fan_in(df: DataFrame) -> DataFrame:
-    """Narrow a finely-split input to the session parallelism before a
-    Python-boundary stage — the mirror of `fan_out`.
-
-    Every Arrow/pandas-UDF task pays a fixed JVM<->Python round-trip
-    latency regardless of row count (measured ~0.2-0.3 s per task wave on
-    this host: a 128-task identity pandas UDF over 12k tiny rows costs
-    ~1.2 s vs ~0.4 s at 32 tasks and ~0.1 s for the same stage JVM-side).
-    When the input is split into many more partitions than the session
-    has cores AND the split is fine-grained (the tiny-task regime), a
-    `coalesce` to the core count removes that overhead without losing any
-    parallelism. coalesce merges adjacent partitions with NO shuffle, and
-    results are unaffected (callers aggregate/join downstream).
-
-    The guard is two-sided: wide production scans (partitions far above
-    cores because the DATA is large) keep their granularity — there each
-    task does seconds of work and the boundary latency is amortized, while
-    merging would inflate per-task state and retry cost. Only inputs
-    within FAN_IN_MAX_RATIO x parallelism are folded.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    n = df.rdd.getNumPartitions()
-    if target < n <= FAN_IN_MAX_RATIO * target:
-        return df.coalesce(target)
-    return df
-
-
-# Inputs split into more than this many partitions per core are treated
-# as genuinely wide (large data) and left alone by fan_in.
-FAN_IN_MAX_RATIO = 8
+# A `fan_in` mirror of fan_out (coalesce finely-split inputs to the core
+# count before a Python-boundary stage) was prototyped in round 6 and
+# REJECTED: it halved the tiny-page extract stage (fixed ~0.2-0.3 s
+# JVM<->Python latency per Arrow task dominates there) but lost 25% wall
+# on the heavy-page 8-core scaling arm, where fat single-wave tasks push
+# multi-thousand-row Arrow batches and lose wave-level smoothing. Task
+# weight is unknowable at plan time; callers that know their weight pick
+# the split (OPTIMIZATION_r06.md has the A/B numbers).

@@ -199,9 +199,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the anti-join) sizes + both sides of the pair self-join — without it
     # the corpus is re-scanned and re-shingled up to 4x (the round-2 perf
     # regression)
-    # fan_out keyed by doc_id: the checkpointed shingle table then carries
-    # HashPartitioning(doc_id), so the per-doc size aggregation below
-    # reuses it instead of inserting its own exchange
+    # fan_out keyed by doc_id: skips the sortBeforeRepartition local sort
+    # a keyless round-robin repartition pays (see dedup_minhash_lsh note)
     sh0 = (
         fan_out(t["documents"], "doc_id")
         .filter(F.size(nonempty) >= NGRAM_N)
@@ -337,11 +336,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the (doc_id, shingles) projection is read three
     # times (band build + the two verify-side joins) — materialize it once
     # instead of re-scanning and re-shingling the corpus per consumer.
-    # fan_out keyed by doc_id: the checkpoint then carries
-    # HashPartitioning(doc_id), which the signature aggregation AND both
-    # verify-side joins reuse — without it, AQE shuffled the wide shingle
-    # arrays by doc_id TWICE (one leaf exchange per verify side, measured
-    # ~0.75 s each at sf0.1) plus once more for the signature groupBy.
+    # fan_out keyed by doc_id: a KEYLESS repartition(n) first pays a
+    # local sort of its input (spark.sql.execution.sortBeforeRepartition,
+    # needed so retried tasks reproduce the round-robin assignment —
+    # SPARK-23207); hash-partitioning on doc_id needs no such sort.
+    # Alternating A/B at sf0.1: keyed 1.84-2.02 s vs keyless 2.03-4.49 s.
+    # (The checkpoint itself erases partitioning metadata —
+    # UnknownPartitioning in the scan — so this is NOT an
+    # exchange-elision win; it is the skipped sort.)
     nonempty = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     docs = (
         fan_out(t["documents"], "doc_id")

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blarify_spark.functions.partitioning import fan_in
 from blarify_spark.functions.udfs import (
     extract_all_udf,
     extract_mentions_udf,
@@ -33,15 +32,19 @@ def extract_all_stage(pages: DataFrame) -> DataFrame:
     pure JVM — this is the hot-path plan (the split stages below remain as
     the parity/compat surface).
 
-    fan_in folds a finely-split input down to the session parallelism
-    before the Python crossing: each Arrow-UDF task carries a fixed
-    JVM<->Python latency, so in the tiny-task regime fewer, fuller tasks
-    are strictly faster (guide §4.1); wide production scans pass through
-    untouched.
+    Partitioning note (measured, round 6): the input's split is taken
+    AS-IS. A coalesce-to-cores "fan_in" before the Python crossing was
+    prototyped — each Arrow task carries ~0.2-0.3 s of fixed JVM<->Python
+    latency, so on TINY pages fewer tasks win (128->32 tasks halved the
+    sf0.1 extract stage) — but on heavy pages the same coalesce lost 25%
+    wall on the 8-core scaling arm (83 s vs 62 s at 48k 48-96-fact
+    pages): fat single-wave tasks push multi-thousand-row Arrow batches
+    through conversion and lose all wave-level smoothing. Task weight
+    is not knowable at plan time, so the split is left to the caller,
+    who does know (bench.py uses 4 tasks/core).
 
     Output: pages columns + text, extract_status, mentions, triples.
     """
-    pages = fan_in(pages)
     ex = extract_all_udf(F.col("html"), F.col("text"), F.col("lang"))
     out = pages.withColumn("_ex", ex).select(
         "url",
