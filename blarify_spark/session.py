@@ -111,6 +111,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "67108864"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Preload-fork worker daemon: workers inherit pandas/pyarrow/this
+        # package from the daemon via copy-on-write instead of importing
+        # them per fresh worker (~0.6 s each, concurrency-stretched to
+        # seconds of wall on a new session's first Python stage — see
+        # daemon_preload.py). Harmless on the JVM side; set empty env to
+        # fall back to the stock pyspark.daemon.
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get("SPARK_GRAFT_PY_DAEMON", "blarify_spark.daemon_preload")
+            or "pyspark.daemon",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
