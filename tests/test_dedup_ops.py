@@ -164,3 +164,27 @@ def test_prefix_jaccard_matches_local_bruteforce_and_prunes(spark):
                 expected[(a, b)] = j
     assert got == expected
     assert got, "no near-dup pairs at threshold — fixture regression"
+
+
+def test_simhash_empty_token_docs_hash_to_zero(spark, tmp_path):
+    """r6 rewrite risk: vote sums now come from an explode+aggregate that
+    produces NO row for a doc with zero tokens; the left join must
+    reinstate it with the HOF form's empty-array result (all votes 0 ->
+    simhash 0), so two token-less docs pair at hamming 0."""
+    import pandas as pd
+
+    rows = [
+        ("e1", "   ", "s1", 3),  # whitespace-only -> zero tokens
+        ("e2", "", "s1", 0),  # empty -> zero tokens
+        ("e3", "alpha beta gamma delta", "s1", 22),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"])
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+
+    from blarify_spark.operators.dedup import dedup_simhash
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(spark, str(tmp_path)).collect()
+    }
+    assert got.get(("e1", "e2")) == 0
