@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.checkpoint import cut_lazy, cut_lineage
 from blarify_spark.operators.registry import register
 
 _CACHE: dict[int, dict[str, DataFrame]] = {}
@@ -732,8 +732,15 @@ def kg_pagerank(
                     + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
-            if it % 2 == 1:  # cut lineage every other round
-                ranks = ranks.transform(cut_lineage)
+            if it % 2 == 1:
+                # lazy cut (kcore/workflows treatment, r6): the checkpoint
+                # materializes inside the next round's join — which covers
+                # every partition — instead of as a standalone job per
+                # cut; 5 intermediate driver actions fuse into the final
+                # one. The LAST cut below stays eager: it must
+                # materialize before the finally-block unpersists the
+                # caches the lineage reads.
+                ranks = ranks.transform(cut_lazy)
         # eager cut: ranks are materialized independent of the caches
         ranks = ranks.transform(cut_lineage)
         return (
