@@ -30,7 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.checkpoint import cut_lazy, cut_lineage
 
 MAX_ROUNDS = 30
 STUCK_LIMIT = 2
@@ -81,8 +81,6 @@ def bottom_up_rollup(
     stuck = 0
     for rnd in range(1, max_rounds + 1):
         pending = base.join(done.select("node_id"), "node_id", "left_anti")
-        if pending.isEmpty():
-            break
         child_vals = (
             e.join(
                 done.select(F.col("node_id").alias("dst"), "value"), "dst"
@@ -118,9 +116,25 @@ def bottom_up_rollup(
                 ),
             )
         )
+        # ONE driver action per round (r6): the old shape paid three —
+        # pending.isEmpty(), frontier.isEmpty(), and an eager checkpoint
+        # job for the done-union. One aggregate answers both emptiness
+        # questions (n_pending == staged rows since the left join
+        # preserves every pending row; n_ready counts the readiness
+        # predicate), and it materializes the PREVIOUS round's deferred
+        # done-checkpoint as a side effect, so each round is exactly one
+        # job plus its AQE stages.
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n_pending"),
+            F.count(
+                F.when(F.col("n_done") == F.col("n_kids"), F.lit(1))
+            ).alias("n_ready"),
+        ).collect()[0]
+        if stats["n_pending"] == 0:
+            break
         frontier = staged.filter(F.col("n_done") == F.col("n_kids"))
         forced = False
-        if frontier.isEmpty():
+        if stats["n_ready"] == 0:
             stuck += 1
             if stuck < stuck_limit:
                 continue  # mirror the reference's stuck counter verbatim
@@ -144,7 +158,10 @@ def bottom_up_rollup(
             F.lit(rnd).alias("round"),
             F.lit(forced).alias("forced"),
         )
-        done = done.unionByName(new).transform(cut_lineage)
+        # deferred: materializes inside the next round's stats aggregate
+        # (full-coverage), or the caller's terminal action on the last
+        # round — consumers of the returned frame are joins/aggregates
+        done = done.unionByName(new).transform(cut_lazy)
     else:
         # the loop exhausted max_rounds without draining the frontier:
         # a hierarchy deeper than max_rounds (or repeated cycle-breaks)
