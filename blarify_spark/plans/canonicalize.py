@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.checkpoint import cut_lazy, cut_lineage
 
 # MinHash-LSH parameters: H = BANDS * ROWS_PER_BAND.
 NUM_HASHES = 32
@@ -440,7 +440,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lab").alias("canon_id"))
             .withColumnRenamed("src", "node_id")
-            .transform(cut_lineage)
+            # deferred cut (r6): materializes inside the signature
+            # aggregate below (full-coverage), so each round is one
+            # driver action instead of checkpoint-job + collect
+            .transform(cut_lazy)
         )
         # convergence check: order-independent signature of the labeling
         # (one narrow aggregate — no join) compared across rounds;

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blarify_spark.functions.checkpoint import cut_lineage
+from blarify_spark.functions.checkpoint import cut_lazy, cut_lineage
 
 MAX_ROUNDS = 20
 
@@ -51,12 +51,16 @@ def gc_empty_containers(
         )
         if empty.isEmpty():
             break
-        alive = alive.join(empty, "node_id", "left_anti").transform(cut_lineage)
+        # deferred cuts (r6): both frames' only consumer is the next
+        # round's eager `empty` checkpoint, which covers every partition
+        # — the two standalone checkpoint jobs per round fuse into it
+        # (3 -> 1 driver actions per round)
+        alive = alive.join(empty, "node_id", "left_anti").transform(cut_lazy)
         # detach: a deleted container has no outgoing edges by definition,
         # so only edges INTO it need dropping
         e = e.join(
             empty.withColumnRenamed("node_id", "dst"), "dst", "left_anti"
-        ).transform(cut_lineage)
+        ).transform(cut_lazy)
         deleted = deleted.unionByName(empty.withColumn("round", F.lit(rnd)))
     else:
         # loop exhausted max_rounds with a non-empty frontier still
